@@ -1,0 +1,54 @@
+"""Pipeline configuration.
+
+Mirrors the knobs of the reference's compression/search jobs
+(/root/reference/components/job-orchestration/job_orchestration/scheduler/job_config.py)
+but expressed for a Spark job: sink fan-out width, skew salting, checkpoint
+location, shuffle sizing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Placeholder bytes — same values as the reference so logtypes are
+# byte-comparable (reference: clp/ir/types.hpp:17-22).
+PLACEHOLDER_INT = "\x11"
+PLACEHOLDER_DICT = "\x12"
+PLACEHOLDER_FLOAT = "\x13"
+PLACEHOLDER_ESCAPE = "\\"
+
+# Variable type tags used in the `var_types` array column.
+VT_INT = 0
+VT_FLOAT = 1
+VT_DICT = 2
+
+
+@dataclass
+class PipelineConfig:
+    """Config for one compress (parse → encode → route) run."""
+
+    # fan-out: number of sink tables; sink_id = pmod(xxhash64(logtype_id, lang), num_sinks)
+    num_sinks: int = 8
+
+    # skew: logtypes whose row share exceeds this fraction get salted
+    hot_logtype_threshold: float = 0.05
+    # salt fan-out for hot logtypes (pre-shuffle sub-splitting)
+    num_salt_buckets: int = 16
+
+    # resume granularity: input rows are split into this many url-hash
+    # buckets; each bucket commits atomically and is skipped on resume
+    num_checkpoint_buckets: int = 4
+
+    # shuffle sizing (tests/local); a real cluster run would scale this
+    # with executor count (≈ 2-3x total cores)
+    shuffle_partitions: int = 32
+
+    # parquet codec for all sinks (reference uses zstd segments:
+    # clp/streaming_compression/Zstd*)
+    compression_codec: str = "zstd"
+
+    # dictionary ID assignment range-partition width
+    dict_id_partitions: int = 8
+
+    extra_spark_conf: dict = field(default_factory=dict)

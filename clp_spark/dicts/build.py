@@ -1,0 +1,206 @@
+"""Dictionary build + enrich — the "joins" of this system.
+
+The reference deduplicates variables/logtypes into dictionaries with
+sequential insertion-order IDs (clp/VariableDictionaryWriter.cpp:11-41,
+clp/LogTypeDictionaryWriter.*). Insertion order is nondeterministic under
+parallelism, so our contract is instead *value-sorted rank IDs*: the ID of
+an entry is its rank in the globally sorted distinct value set. That is
+deterministic at any cluster size (the two-cluster-size parity rule).
+
+Scale design: IDs are assigned with a two-pass range-partitioned rank
+(repartitionByRange → per-partition counts → offset + local index), not a
+single-partition row_number() window — the dictionary build stays fully
+distributed even at 10^8+ distinct values. The distinct itself is a
+map-side-combined hash aggregate (Catalyst partial+final).
+
+Enrich (string → ID) is a broadcast hash join when the dictionary is
+small (the common case — that's CLP's entire premise), with an automatic
+fallback to a shuffle join + regroup when it isn't.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from clp_spark.config import VT_DICT
+
+
+def assign_stable_ids(
+    distinct_df: DataFrame,
+    value_col: str,
+    id_col: str,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Assign rank-in-sorted-order IDs to a distinct value set, distributed.
+
+    Pass 1 computes per-range-partition counts; pass 2 adds
+    (range offset + local index). The result only depends on the global
+    value order, never on partitioning, sampling, or cluster size.
+    """
+    spark = distinct_df.sparkSession
+    d = (
+        distinct_df.repartitionByRange(num_partitions, F.col(value_col))
+        .sortWithinPartitions(value_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    # per-partition (count, min-value); order offsets by min value so ids
+    # follow the global sort order even if pid numbering were arbitrary
+    stats = d.groupBy("_pid").agg(
+        F.count("*").alias("c"), F.min(value_col).alias("lo")
+    ).collect()
+    stats.sort(key=lambda r: r["lo"])
+    offsets = {}
+    acc = 0
+    for r in stats:
+        offsets[r["_pid"]] = acc
+        acc += r["c"]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    in_schema = next(f for f in d.schema if f.name == value_col)
+    out_schema = f"{id_col} long, {value_col} {in_schema.dataType.simpleString()}"
+
+    def add_ids(batches):
+        idx = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            out = pd.DataFrame(
+                {
+                    id_col: range(base + idx, base + idx + len(pdf)),
+                    value_col: pdf[value_col].to_numpy(),
+                }
+            )
+            idx += len(pdf)
+            yield out
+
+    return d.mapInPandas(add_ids, schema=out_schema)
+
+
+def build_logtype_dict(parsed: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """(logtype_id, logtype, num_vars) — distinct templates, stable IDs."""
+    distinct = parsed.select("logtype", F.col("n_vars").alias("num_vars")).distinct()
+    with_ids = assign_stable_ids(
+        distinct.select("logtype"), "logtype", "logtype_id", num_partitions
+    )
+    return with_ids.join(distinct, "logtype", "inner").select(
+        "logtype_id", "logtype", "num_vars"
+    )
+
+
+def build_var_dict(parsed: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """(var_id, value) — distinct dictionary-variable strings, stable IDs."""
+    dict_vars = (
+        parsed.select(
+            F.explode(F.arrays_zip("var_strs", "var_types")).alias("z")
+        )
+        .filter(F.col("z.var_types") == VT_DICT)
+        .select(F.col("z.var_strs").alias("value"))
+        .distinct()
+    )
+    return assign_stable_ids(dict_vars, "value", "var_id", num_partitions)
+
+
+def encode_with_dicts(
+    parsed: DataFrame,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    broadcast_threshold: int = 20_000_000,
+) -> DataFrame:
+    """Enrich parsed rows with logtype_id and dictionary-var IDs.
+
+    logtype enrich: broadcast hash join on the template string.
+    var enrich: dictionary value→id map shipped as a broadcast variable and
+    applied inside one Arrow batch pass (zero shuffles); falls back to an
+    explode/join/regroup (2 shuffles) if the dictionary is too large to
+    broadcast. Output schema matches FIXTURES.md §3 `encoded`.
+    """
+    spark = parsed.sparkSession
+    with_lt = parsed.join(
+        F.broadcast(logtype_dict.select("logtype_id", "logtype")), "logtype", "inner"
+    )
+
+    n_vars_dict = var_dict.count()
+    if n_vars_dict <= broadcast_threshold:
+        mapping = {r["value"]: r["var_id"] for r in var_dict.collect()}
+        b_map = spark.sparkContext.broadcast(mapping)
+
+        keep = [
+            c
+            for c in with_lt.columns
+            if c not in ("logtype", "var_strs", "var_types", "enc_prelim")
+        ]
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in with_lt.schema
+            if f.name in keep
+        )
+        out_schema += ", encoded_vars array<long>, dict_var_ids array<long>"
+
+        def patch(batches):
+            m = b_map.value
+            for pdf in batches:
+                enc_out = []
+                dict_ids_out = []
+                for strs, types, enc in zip(
+                    pdf["var_strs"], pdf["var_types"], pdf["enc_prelim"]
+                ):
+                    enc = list(enc)
+                    dict_ids = []
+                    for j, t in enumerate(types):
+                        if t == VT_DICT:
+                            vid = m[strs[j]]
+                            enc[j] = vid
+                            dict_ids.append(vid)
+                    enc_out.append(enc)
+                    dict_ids_out.append(dict_ids)
+                out = pdf[keep].copy()
+                out["encoded_vars"] = enc_out
+                out["dict_var_ids"] = dict_ids_out
+                yield out
+
+        return with_lt.mapInPandas(patch, schema=out_schema)
+
+    # Large-dictionary fallback: normalize (posexplode), shuffle-join on the
+    # variable string, regroup by url (url is the pages primary key).
+    exploded = (
+        with_lt.select(
+            "url",
+            F.posexplode(F.arrays_zip("var_strs", "var_types", "enc_prelim")).alias(
+                "pos", "v"
+            ),
+        )
+        .select(
+            "url",
+            "pos",
+            F.col("v.var_strs").alias("value"),
+            F.col("v.var_types").alias("vt"),
+            F.col("v.enc_prelim").alias("enc"),
+        )
+    )
+    joined = exploded.join(var_dict, "value", "left").withColumn(
+        "enc2", F.when(F.col("vt") == VT_DICT, F.col("var_id")).otherwise(F.col("enc"))
+    )
+    regrouped = (
+        joined.groupBy("url")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "enc2", "vt"))).alias("a"))
+        .select(
+            "url",
+            F.expr("transform(a, x -> x.enc2)").alias("encoded_vars"),
+            F.expr(
+                f"transform(filter(a, x -> x.vt = {VT_DICT}), x -> x.enc2)"
+            ).alias("dict_var_ids"),
+        )
+    )
+    base = with_lt.drop("var_strs", "var_types", "enc_prelim", "logtype")
+    return (
+        base.join(regrouped, "url", "left")
+        .withColumn(
+            "encoded_vars", F.coalesce("encoded_vars", F.expr("array()").cast("array<long>"))
+        )
+        .withColumn(
+            "dict_var_ids", F.coalesce("dict_var_ids", F.expr("array()").cast("array<long>"))
+        )
+    )

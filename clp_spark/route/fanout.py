@@ -1,0 +1,108 @@
+"""Fan-out routing: encoded rows → per-(logtype, lang)-hash sink tables.
+
+This is the Spark re-expression of GLT's group-by-logtype storage
+(reference: glt/streaming_archive/writer/LogtypeTable.hpp:13-17 — all
+messages of one logtype stored together, small tables merged into
+combined tables). Here: sink_id = pmod(xxhash64(logtype_id, lang), K),
+one parquet (stand-in for Iceberg) partition per sink, written in a
+single job via partitionBy.
+
+Skew (north_rule requires explicit handling): template frequencies are
+Zipf-like, so a plain repartition("sink_id") would send the hot
+logtype's sink to one task. We detect hot logtypes with a cheap count
+aggregate and salt the shuffle key for those rows only, so the hot
+sink's data spreads over `num_salt_buckets` tasks while cold sinks stay
+un-salted (no extra files). AQE skew-join/coalesce stays on as backstop.
+
+Per-sink aggregates (FIXTURES.md §3 sink_metrics) are the pipeline's
+aggregate contract: rows, logtype/var cardinalities, encoded byte sizes —
+all Catalyst partial+final hash aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from clp_spark.config import PipelineConfig
+
+
+def add_sink_id(encoded: DataFrame, num_sinks: int) -> DataFrame:
+    return encoded.withColumn(
+        "sink_id", F.pmod(F.xxhash64("logtype_id", "lang"), F.lit(num_sinks))
+    )
+
+
+def detect_hot_logtypes(encoded: DataFrame, threshold_fraction: float) -> list[int]:
+    """Logtype IDs whose row share exceeds the threshold (driver-side list).
+
+    One cheap pre-aggregated count pass; the result is tiny (it is at most
+    1/threshold entries) so collecting it is safe at any scale.
+    """
+    counts = encoded.groupBy("logtype_id").count()
+    total = encoded.count()
+    hot = counts.filter(F.col("count") >= threshold_fraction * total)
+    return [r["logtype_id"] for r in hot.collect()]
+
+
+def route_to_sinks(
+    encoded: DataFrame,
+    out_path: str,
+    cfg: PipelineConfig,
+    hot_logtypes: list[int] | None = None,
+) -> None:
+    """Write encoded rows into per-sink parquet partitions, skew-salted."""
+    df = add_sink_id(encoded, cfg.num_sinks)
+    if hot_logtypes is None:
+        hot_logtypes = detect_hot_logtypes(df, cfg.hot_logtype_threshold)
+
+    if hot_logtypes:
+        salt = F.when(
+            F.col("logtype_id").isin(hot_logtypes),
+            F.pmod(F.xxhash64("url"), F.lit(cfg.num_salt_buckets)),
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
+    df = df.withColumn("_salt", salt)
+
+    # shuffle on (sink_id, salt): hot sinks spread across salt buckets,
+    # cold sinks coalesce; partitionBy still lays files out per sink dir
+    (
+        df.repartition(cfg.shuffle_partitions, "sink_id", "_salt")
+        .drop("_salt")
+        .write.mode("overwrite")
+        .partitionBy("sink_id")
+        .option("compression", cfg.compression_codec)
+        .parquet(out_path)
+    )
+
+
+def sink_metrics(encoded_with_sink: DataFrame) -> DataFrame:
+    """Per-sink aggregate contract (exact-match vs oracle).
+
+    encoded_bytes models the reference's columnar cost: 8 bytes per
+    (timestamp, logtype_id, encoded var) slot —
+    streaming_archive/writer/File.hpp:257-259's three parallel columns.
+    """
+    return (
+        encoded_with_sink.groupBy("sink_id")
+        .agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("logtype_id").alias("logtype_cardinality"),
+            F.sum(F.size("encoded_vars")).alias("n_encoded_vars"),
+            F.sum(F.expr("8 + 8 + 8 * size(encoded_vars)")).alias("encoded_bytes"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+        )
+        .orderBy("sink_id")
+    )
+
+
+def sink_var_cardinality(encoded_with_sink: DataFrame) -> DataFrame:
+    """Distinct dictionary-var IDs per sink (separate agg: needs explode)."""
+    return (
+        encoded_with_sink.select(
+            "sink_id", F.explode("dict_var_ids").alias("var_id")
+        )
+        .groupBy("sink_id")
+        .agg(F.countDistinct("var_id").alias("var_cardinality"))
+        .orderBy("sink_id")
+    )

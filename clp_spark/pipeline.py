@@ -33,6 +33,29 @@ from clp_spark.route.fanout import (
 )
 
 
+def compress_df(
+    pages: DataFrame,
+    cfg: PipelineConfig | None = None,
+    text_col: str = "text",
+    passthrough: list[str] | None = None,
+    sink_cols: tuple = ("logtype_id", "lang"),
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """In-memory compress: (encoded_with_sink, logtype_dict, var_dict).
+
+    Same dataflow as `compress` minus checkpointing/persisted sinks —
+    for search pipelines, tests, and the driver entry queries where the
+    corpus is read, encoded, queried, and discarded in one job.
+    """
+    cfg = cfg or PipelineConfig()
+    parsed = tokenize_df(pages, text_col=text_col, passthrough=passthrough).persist()
+    lt_dict = build_logtype_dict(parsed, cfg.dict_id_partitions)
+    v_dict = build_var_dict(parsed, cfg.dict_id_partitions)
+    encoded = encode_with_dicts(parsed, lt_dict, v_dict)
+    sink_cols = tuple(c for c in sink_cols if c in encoded.columns)
+    encoded = add_sink_id(encoded, cfg.num_sinks, cols=sink_cols)
+    return encoded, lt_dict, v_dict
+
+
 def compress(
     spark: SparkSession,
     pages: DataFrame,

@@ -26,9 +26,11 @@ from pyspark.sql import DataFrame, functions as F
 from clp_spark.config import PipelineConfig
 
 
-def add_sink_id(encoded: DataFrame, num_sinks: int) -> DataFrame:
+def add_sink_id(
+    encoded: DataFrame, num_sinks: int, cols: tuple = ("logtype_id", "lang")
+) -> DataFrame:
     return encoded.withColumn(
-        "sink_id", F.pmod(F.xxhash64("logtype_id", "lang"), F.lit(num_sinks))
+        "sink_id", F.pmod(F.xxhash64(*cols), F.lit(num_sinks))
     )
 
 

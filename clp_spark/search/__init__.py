@@ -1,0 +1,16 @@
+"""CLP-style search over encoded sinks: dictionary-filter pushdown, then
+regex confirmation only on surviving rows (search-without-decompress)."""
+
+from clp_spark.search.compiler import CompiledQuery, compile_query
+from clp_spark.search.decode import decode_messages
+from clp_spark.search.executor import search
+from clp_spark.search.wildcard import wildcard_match, wildcard_to_regex
+
+__all__ = [
+    "CompiledQuery",
+    "compile_query",
+    "decode_messages",
+    "search",
+    "wildcard_match",
+    "wildcard_to_regex",
+]

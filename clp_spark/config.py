@@ -51,4 +51,10 @@ class PipelineConfig:
     # dictionary ID assignment range-partition width
     dict_id_partitions: int = 8
 
+    # dictionaries up to this many entries are built/applied driver-side
+    # (one job, broadcast map); above it the fully distributed path runs
+    # (range-ranked IDs + explode/join/regroup encode) — the 10^12-doc
+    # configuration where no dictionary fits a driver
+    driver_dict_cap: int = 300_000
+
     extra_spark_conf: dict = field(default_factory=dict)

@@ -80,13 +80,19 @@ def assign_stable_ids(
 
 
 def build_logtype_dict(parsed: DataFrame, num_partitions: int = 8) -> DataFrame:
-    """(logtype_id, logtype, num_vars) — distinct templates, stable IDs."""
-    distinct = parsed.select("logtype", F.col("n_vars").alias("num_vars")).distinct()
+    """(logtype_id, logtype, num_vars, n_rows) — distinct templates with
+    stable IDs. One groupBy yields the distinct set AND per-template row
+    counts (num_vars is a function of the template, so min() is exact);
+    the counts make hot-template detection for skew salting free —
+    no second scan over the encoded table."""
+    distinct = parsed.groupBy("logtype").agg(
+        F.min("n_vars").alias("num_vars"), F.count("*").alias("n_rows")
+    )
     with_ids = assign_stable_ids(
         distinct.select("logtype"), "logtype", "logtype_id", num_partitions
     )
     return with_ids.join(distinct, "logtype", "inner").select(
-        "logtype_id", "logtype", "num_vars"
+        "logtype_id", "logtype", "num_vars", "n_rows"
     )
 
 
@@ -103,11 +109,106 @@ def build_var_dict(parsed: DataFrame, num_partitions: int = 8) -> DataFrame:
     return assign_stable_ids(dict_vars, "value", "var_id", num_partitions)
 
 
+def build_dicts_small(
+    parsed: DataFrame, sample_cap: int = 300_000
+) -> tuple[DataFrame, DataFrame, dict, dict] | None:
+    """Fast path: both dictionaries collected, sorted, and ID'd on the
+    driver in ONE job each (CLP's own model — dictionaries fit in memory:
+    DictionaryReader.hpp loads them wholesale). Returns
+    (logtype_dict_df, var_dict_df, logtype_map, var_map), or None when a
+    dictionary exceeds sample_cap (caller falls back to the fully
+    distributed rank assignment). IDs are value-sorted ranks either way,
+    so the two paths produce identical dictionaries.
+    """
+    spark = parsed.sparkSession
+    # Arrow-batched driver exchange (toPandas / createDataFrame-from-
+    # pandas): ~10x cheaper than Row pickling for 10^5+-entry dicts
+    lt_pdf = (
+        parsed.groupBy("logtype")
+        .agg(F.min("n_vars").alias("num_vars"), F.count("*").alias("n_rows"))
+        .limit(sample_cap + 1)
+        .toPandas()
+    )
+    if len(lt_pdf) > sample_cap:
+        return None
+    lt_pdf = lt_pdf.sort_values("logtype", kind="mergesort").reset_index(drop=True)
+    lt_pdf.insert(0, "logtype_id", range(len(lt_pdf)))
+    lt_map = dict(zip(lt_pdf["logtype"], lt_pdf["logtype_id"]))
+    lt_df = spark.createDataFrame(
+        lt_pdf, "logtype_id long, logtype string, num_vars int, n_rows long"
+    )
+
+    v_pdf = (
+        parsed.select(F.explode(F.arrays_zip("var_strs", "var_types")).alias("z"))
+        .filter(F.col("z.var_types") == VT_DICT)
+        .select(F.col("z.var_strs").alias("value"))
+        .distinct()
+        .limit(sample_cap + 1)
+        .toPandas()
+    )
+    if len(v_pdf) > sample_cap:
+        return None
+    v_pdf = v_pdf.sort_values("value", kind="mergesort").reset_index(drop=True)
+    v_pdf.insert(0, "var_id", range(len(v_pdf)))
+    v_map = dict(zip(v_pdf["value"], v_pdf["var_id"]))
+    v_df = spark.createDataFrame(v_pdf, "var_id long, value string")
+    return lt_df, v_df, lt_map, v_map
+
+
+def encode_with_maps(
+    parsed: DataFrame, logtype_map: dict, var_map: dict
+) -> DataFrame:
+    """Enrich with logtype_id + var IDs in one Arrow pass using broadcast
+    maps — no joins, no extra jobs (pairs with build_dicts_small)."""
+    spark = parsed.sparkSession
+    b_lt = spark.sparkContext.broadcast(logtype_map)
+    b_v = spark.sparkContext.broadcast(var_map)
+
+    drop = ("logtype", "var_strs", "var_types", "enc_prelim")
+    keep = [c for c in parsed.columns if c not in drop]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in parsed.schema
+        if f.name in keep
+    )
+    out_schema += (
+        ", logtype_id long, encoded_vars array<long>, dict_var_ids array<long>"
+    )
+
+    def patch(batches):
+        lt_m = b_lt.value
+        v_m = b_v.value
+        for pdf in batches:
+            lt_ids = [lt_m[lt] for lt in pdf["logtype"]]
+            enc_out = []
+            dict_ids_out = []
+            for strs, types, enc in zip(
+                pdf["var_strs"], pdf["var_types"], pdf["enc_prelim"]
+            ):
+                enc = list(enc)
+                dict_ids = []
+                for j, t in enumerate(types):
+                    if t == VT_DICT:
+                        vid = v_m[strs[j]]
+                        enc[j] = vid
+                        dict_ids.append(vid)
+                enc_out.append(enc)
+                dict_ids_out.append(dict_ids)
+            out = pdf[keep].copy()
+            out["logtype_id"] = lt_ids
+            out["encoded_vars"] = enc_out
+            out["dict_var_ids"] = dict_ids_out
+            yield out
+
+    return parsed.mapInPandas(patch, schema=out_schema)
+
+
 def encode_with_dicts(
     parsed: DataFrame,
     logtype_dict: DataFrame,
     var_dict: DataFrame,
-    broadcast_threshold: int = 20_000_000,
+    broadcast_threshold: int = 300_000,
+    key_col: str = "url",
 ) -> DataFrame:
     """Enrich parsed rows with logtype_id and dictionary-var IDs.
 
@@ -167,13 +268,13 @@ def encode_with_dicts(
     # variable string, regroup by url (url is the pages primary key).
     exploded = (
         with_lt.select(
-            "url",
+            key_col,
             F.posexplode(F.arrays_zip("var_strs", "var_types", "enc_prelim")).alias(
                 "pos", "v"
             ),
         )
         .select(
-            "url",
+            key_col,
             "pos",
             F.col("v.var_strs").alias("value"),
             F.col("v.var_types").alias("vt"),
@@ -184,10 +285,10 @@ def encode_with_dicts(
         "enc2", F.when(F.col("vt") == VT_DICT, F.col("var_id")).otherwise(F.col("enc"))
     )
     regrouped = (
-        joined.groupBy("url")
+        joined.groupBy(key_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "enc2", "vt"))).alias("a"))
         .select(
-            "url",
+            key_col,
             F.expr("transform(a, x -> x.enc2)").alias("encoded_vars"),
             F.expr(
                 f"transform(filter(a, x -> x.vt = {VT_DICT}), x -> x.enc2)"
@@ -196,7 +297,7 @@ def encode_with_dicts(
     )
     base = with_lt.drop("var_strs", "var_types", "enc_prelim", "logtype")
     return (
-        base.join(regrouped, "url", "left")
+        base.join(regrouped, key_col, "left")
         .withColumn(
             "encoded_vars", F.coalesce("encoded_vars", F.expr("array()").cast("array<long>"))
         )

@@ -22,11 +22,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from clp_spark.checkpoint import RunManifest
 from clp_spark.config import PipelineConfig
-from clp_spark.dicts.build import build_logtype_dict, build_var_dict, encode_with_dicts
+from clp_spark.dicts.build import (
+    build_dicts_small,
+    build_logtype_dict,
+    build_var_dict,
+    encode_with_dicts,
+    encode_with_maps,
+)
 from clp_spark.parse.tokenizer import tokenize_df
 from clp_spark.route.fanout import (
     add_sink_id,
-    detect_hot_logtypes,
+    hot_logtypes_from_dict,
     route_to_sinks,
     sink_metrics,
     sink_var_cardinality,
@@ -48,9 +54,17 @@ def compress_df(
     """
     cfg = cfg or PipelineConfig()
     parsed = tokenize_df(pages, text_col=text_col, passthrough=passthrough).persist()
-    lt_dict = build_logtype_dict(parsed, cfg.dict_id_partitions)
-    v_dict = build_var_dict(parsed, cfg.dict_id_partitions)
-    encoded = encode_with_dicts(parsed, lt_dict, v_dict)
+    small = build_dicts_small(parsed, cfg.driver_dict_cap)
+    if small is not None:
+        lt_dict, v_dict, lt_map, v_map = small
+        encoded = encode_with_maps(parsed, lt_map, v_map)
+    else:
+        lt_dict = build_logtype_dict(parsed, cfg.dict_id_partitions)
+        v_dict = build_var_dict(parsed, cfg.dict_id_partitions)
+        key = (passthrough[0] if passthrough else "url")
+        encoded = encode_with_dicts(
+            parsed, lt_dict, v_dict, cfg.driver_dict_cap, key_col=key
+        )
     sink_cols = tuple(c for c in sink_cols if c in encoded.columns)
     encoded = add_sink_id(encoded, cfg.num_sinks, cols=sink_cols)
     return encoded, lt_dict, v_dict
@@ -98,18 +112,33 @@ def compress(
     parsed_all = spark.read.schema(parsed_schema).parquet(parsed_dir)
 
     # ---- phase 2: dictionaries (deterministic IDs at any parallelism) ----
+    # Fast path: dictionaries are CLP-small → one collect per dict,
+    # driver-side value-sort. Fallback: fully distributed range-ranked
+    # IDs. Both produce the same value-sorted-rank dictionaries.
+    lt_map = v_map = None
     if "dicts" not in manifest.committed("dicts"):
         t0 = time.time()
-        lt_dict = build_logtype_dict(parsed_all, cfg.dict_id_partitions)
-        lt_dict.write.mode("overwrite").parquet(os.path.join(dicts_dir, "logtype"))
-        v_dict = build_var_dict(parsed_all, cfg.dict_id_partitions)
-        v_dict.write.mode("overwrite").parquet(os.path.join(dicts_dir, "var"))
+        small = build_dicts_small(parsed_all, cfg.driver_dict_cap)
+        if small is not None:
+            lt_df, v_df, lt_map, v_map = small
+            lt_df.write.mode("overwrite").parquet(os.path.join(dicts_dir, "logtype"))
+            v_df.write.mode("overwrite").parquet(os.path.join(dicts_dir, "var"))
+            lt_card, v_card = len(lt_map), len(v_map)
+        else:
+            build_logtype_dict(parsed_all, cfg.dict_id_partitions).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(dicts_dir, "logtype"))
+            build_var_dict(parsed_all, cfg.dict_id_partitions).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(dicts_dir, "var"))
+            lt_card = spark.read.parquet(os.path.join(dicts_dir, "logtype")).count()
+            v_card = spark.read.parquet(os.path.join(dicts_dir, "var")).count()
         manifest.commit(
             "dicts",
             "dicts",
             run_id,
-            logtype_cardinality=spark.read.parquet(os.path.join(dicts_dir, "logtype")).count(),
-            var_cardinality=spark.read.parquet(os.path.join(dicts_dir, "var")).count(),
+            logtype_cardinality=lt_card,
+            var_cardinality=v_card,
             wall_ms=int(1000 * (time.time() - t0)),
         )
     lt_dict = spark.read.parquet(os.path.join(dicts_dir, "logtype"))
@@ -119,10 +148,36 @@ def compress(
     encoded_schema = None
     if "route" not in manifest.committed("route"):
         t0 = time.time()
-        encoded = encode_with_dicts(parsed_all, lt_dict, v_dict)
-        route_to_sinks(encoded, sinks_dir, cfg)
-        encoded_schema = add_sink_id(encoded, cfg.num_sinks).schema
+        if lt_map is None:
+            # resume path: reload dictionaries as driver maps when small
+            if v_dict.count() <= cfg.driver_dict_cap:
+                lt_map = {
+                    r["logtype"]: r["logtype_id"] for r in lt_dict.collect()
+                }
+                v_map = {r["value"]: r["var_id"] for r in v_dict.collect()}
+        if lt_map is not None:
+            encoded = encode_with_maps(parsed_all, lt_map, v_map)
+        else:
+            encoded = encode_with_dicts(
+                parsed_all, lt_dict, v_dict, cfg.driver_dict_cap, key_col="url"
+            )
+        hot = hot_logtypes_from_dict(lt_dict, cfg.hot_logtype_threshold)
+        # persist the sinked rows: the metrics aggregation reuses them
+        # directly instead of re-opening the many small sink files
+        enc_sinked = add_sink_id(encoded, cfg.num_sinks).persist()
+        route_to_sinks(enc_sinked, sinks_dir, cfg, hot_logtypes=hot, presinked=True)
+        encoded_schema = enc_sinked.schema
         manifest.commit("route", "route", run_id, wall_ms=int(1000 * (time.time() - t0)))
+        if "metrics" not in manifest.committed("metrics"):
+            t0 = time.time()
+            m = sink_metrics(enc_sinked).join(
+                sink_var_cardinality(enc_sinked), "sink_id", "left"
+            ).na.fill({"var_cardinality": 0})
+            m.write.mode("overwrite").parquet(metrics_dir)
+            manifest.commit(
+                "metrics", "metrics", run_id, wall_ms=int(1000 * (time.time() - t0))
+            )
+        enc_sinked.unpersist()
     if encoded_schema is None:
         encoded_schema = add_sink_id(
             encode_with_dicts(parsed_all.limit(0), lt_dict.limit(0), v_dict.limit(0)),

@@ -46,14 +46,32 @@ def detect_hot_logtypes(encoded: DataFrame, threshold_fraction: float) -> list[i
     return [r["logtype_id"] for r in hot.collect()]
 
 
+def hot_logtypes_from_dict(
+    logtype_dict: DataFrame, threshold_fraction: float
+) -> list[int]:
+    """Hot-template IDs straight from the dictionary's n_rows column —
+    zero extra scans of the data (build_logtype_dict counts ride along
+    with the distinct aggregation)."""
+    agg = logtype_dict.agg(F.sum("n_rows").alias("total")).collect()[0]
+    total = agg["total"] or 0
+    hot = logtype_dict.filter(
+        F.col("n_rows") >= F.lit(threshold_fraction * total)
+    )
+    return [r["logtype_id"] for r in hot.select("logtype_id").collect()]
+
+
 def route_to_sinks(
     encoded: DataFrame,
     out_path: str,
     cfg: PipelineConfig,
     hot_logtypes: list[int] | None = None,
+    presinked: bool = False,
 ) -> None:
-    """Write encoded rows into per-sink parquet partitions, skew-salted."""
-    df = add_sink_id(encoded, cfg.num_sinks)
+    """Write encoded rows into per-sink parquet partitions, skew-salted.
+
+    presinked=True: `encoded` already carries sink_id (caller persisted
+    it to also derive metrics without a sink read-back)."""
+    df = encoded if presinked else add_sink_id(encoded, cfg.num_sinks)
     if hot_logtypes is None:
         hot_logtypes = detect_hot_logtypes(df, cfg.hot_logtype_threshold)
 

@@ -49,6 +49,11 @@ class CompiledQuery:
     float_vars: list[int] = field(default_factory=list)
     # variable-dictionary strings that must each resolve + appear
     dict_vars: list[str] = field(default_factory=list)
+    # the same conditions in query order — ("int"|"float", encoding) or
+    # ("dict", token) — for the subsequence refinement
+    # (Query.hpp:245-270: query vars must appear in order,
+    # non-contiguously, among the message's variables)
+    ordered_vars: list[tuple] = field(default_factory=list)
     # full wildcard pattern for the final confirm on decoded text
     confirm_pattern: str = "*"
 
@@ -118,6 +123,7 @@ def compile_query(
     int_vars: list[int] = []
     float_vars: list[int] = []
     dict_vars: list[str] = []
+    ordered: list[tuple] = []
     any_constraint = False
 
     for idx, (kind, text, has_wild) in enumerate(runs):
@@ -140,18 +146,22 @@ def compile_query(
             if iv is not None:
                 lt_parts.append(_wc_escape(PLACEHOLDER_INT))
                 int_vars.append(iv)
+                ordered.append(("int", iv))
             else:
                 fv = encode_float(text)
                 if fv is not None:
                     lt_parts.append(_wc_escape(PLACEHOLDER_FLOAT))
                     float_vars.append(fv)
+                    ordered.append(("float", fv))
                 else:
                     lt_parts.append(_wc_escape(PLACEHOLDER_DICT))
                     dict_vars.append(text)
+                    ordered.append(("dict", text))
             any_constraint = True
         elif (preceded_by_eq and any(ch.isalpha() for ch in text)) or _is_hex(text):
             lt_parts.append(_wc_escape(PLACEHOLDER_DICT))
             dict_vars.append(text)
+            ordered.append(("dict", text))
             any_constraint = True
         else:
             # static text — appears verbatim in the logtype template
@@ -176,6 +186,7 @@ def compile_query(
         int_vars=int_vars,
         float_vars=float_vars,
         dict_vars=dict_vars,
+        ordered_vars=ordered,
         confirm_pattern=q,
     )
 

@@ -83,6 +83,7 @@ def search(
     path_col: str = "url",
     decode: bool = True,
     text_col: str = "text",
+    require_var_order: bool = False,
 ) -> DataFrame:
     """Run a wildcard search over an encoded table. Returns matched rows
     (decoded text appended unless decode=False, in which case the caller
@@ -133,6 +134,12 @@ def search(
             )
         )
 
+    # (3b) optional refinement: query vars must appear IN ORDER as a
+    # subsequence of the message's encoded vars (Query.hpp:245-270).
+    # Pure pruning — the confirm stage stays exact either way.
+    if require_var_order and cq.ordered_vars:
+        df = _filter_var_subsequence(df, cq, var_dict)
+
     if not decode:
         return df
 
@@ -140,6 +147,45 @@ def search(
     decoded = decode_messages(df, logtype_dict, var_dict, text_col)
     jrx = wildcard_to_java_regex(cq.confirm_pattern, cq.ignore_case)
     return decoded.filter(F.col(text_col).rlike("\\A(?:" + jrx + ")\\z"))
+
+
+def _filter_var_subsequence(df, cq: CompiledQuery, var_dict):
+    """Keep rows whose encoded_vars contain the query's variable
+    encodings in query order (non-contiguous subsequence). Each query
+    var is a set of acceptable int64s (dict vars may map to several IDs
+    under ignore-case). Arrow-batched pandas pass."""
+    import pandas as pd
+
+    needles: list[frozenset] = []
+    for kind, v in cq.ordered_vars:
+        if kind in ("int", "float"):
+            needles.append(frozenset((int(v),)))
+        else:
+            ids = _dict_var_ids(var_dict, v, cq.ignore_case)
+            if not ids:
+                return df.limit(0)
+            needles.append(frozenset(int(i) for i in ids))
+
+    spark = df.sparkSession
+    b_needles = spark.sparkContext.broadcast(needles)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    )
+
+    def run(batches):
+        nd = b_needles.value
+        k = len(nd)
+        for pdf in batches:
+            mask = []
+            for ev in pdf["encoded_vars"]:
+                j = 0
+                for x in ev:
+                    if j < k and int(x) in nd[j]:
+                        j += 1
+                mask.append(j == k)
+            yield pdf[pd.Series(mask, index=pdf.index)]
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def _empty_like(df, logtype_dict, var_dict, decode, text_col):

@@ -61,9 +61,12 @@ def run_once(cores: int, pages_path: str, n_docs: int) -> dict:
     out = tempfile.mkdtemp(prefix=f"clp_scale_{cores}_")
     steal0 = _steal_jiffies()
     t0 = time.time()
+    cap = int(os.environ.get("CLP_SCALE_DICT_CAP", "300000"))
     res = compress(
         spark, pages, out,
-        PipelineConfig(num_checkpoint_buckets=1, shuffle_partitions=32),
+        PipelineConfig(
+            num_checkpoint_buckets=1, shuffle_partitions=32, driver_dict_cap=cap
+        ),
     )
     wall = time.time() - t0
     steal = _steal_jiffies() - steal0

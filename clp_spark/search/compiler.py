@@ -1,26 +1,33 @@
-"""Driver-side wildcard-query compiler.
+"""Driver-side wildcard-query compiler: ambiguous-token interpretations.
 
 Re-expression of the reference's query compilation
-(/root/reference/components/core/src/clp/GrepCore.hpp:139-246:
-process_raw_query → per-subquery logtype patterns + QueryVars;
-token classification at GrepCore.hpp:251-305). Instead of enumerating
-every ambiguous-token interpretation combinatorially (bounded at
-GrepCore.hpp:194-233), we compile ONE sound superset prefilter:
+(/root/reference/components/core/src/clp/GrepCore.hpp:139-246
+process_raw_query, :251-305 process_var_token, :314-403
+generate_logtypes_and_vars_for_subquery). CLP splits the wildcard query
+into tokens (a `*` acts as a boundary shared by both neighbors), gives
+each ambiguous token a set of *interpretations* — static logtype text,
+dictionary variable (wildcard var-dict scan: DictionaryReader.hpp:274-290),
+encoded integer, encoded float — and unions the bounded cross-product of
+interpretations as subqueries.
 
-  - query tokens that are *unambiguously* variables (bounded by real
-    delimiters on both sides, no wildcards touching them) become hard
-    conditions: an int/float token must appear among `encoded_vars`
-    (same int64 encodings as compression), a dictionary token must
-    resolve in the variable dictionary (miss ⇒ zero results, no scan);
-  - unambiguous static tokens + all delimiter runs become the logtype
-    wildcard pattern matched against the logtype dictionary;
-  - anything touched by a wildcard contributes `*` (no constraint).
+Spark-first difference: instead of enumerating the cross-product, we
+compile an AND-of-ORs — one OR of interpretation-branches per query
+token, ANDed across tokens. By distributivity this is a superset of
+CLP's OR-of-ANDs (it forgets cross-token template structure, never rows),
+it compiles to ONE Catalyst filter over the encoded columns, and it
+cannot blow up combinatorially. Exactness is restored by the mandatory
+decode+wildcard-confirm stage on surviving rows (Grep.cpp:115-132).
 
-Exactness is restored by the mandatory decode+wildcard-confirm stage on
-surviving rows (executor.py), mirroring Grep.cpp:115-132. A prefilter
-that is a superset + an exact confirm ⇒ exact results, while preserving
-CLP's "search without decompress" pruning behavior (dictionary misses
-prune to zero before any data scan).
+Soundness invariant (every branch set is a superset of the true rows):
+  - a token region in a matching message is a maximal run of token
+    chars, so it is either entirely static text or exactly one variable
+    (int / float / dict) — each gets a branch when feasible;
+  - a `?` may also stand for a *delimiter*, splitting the region in two;
+    a dedicated 'split' branch recurses on both halves (bounded);
+  - feasibility rules only ever *drop* impossible branches (e.g. a token
+    with a literal digit can never be static text: ir/parsing.cpp:74-85),
+    never possible ones;
+  - anything uncertain degrades to an 'any' (unconstrained) branch.
 """
 
 from __future__ import annotations
@@ -35,37 +42,72 @@ from clp_spark.config import (
 from clp_spark.oracle.tokenizer import encode_float, encode_int, is_delim
 from clp_spark.parse.tokenizer import _ESC_TRANS  # same escaping as compression
 
+# left/right context markers for a token piece
+_STAR = "star"      # a `*` wildcard: unanchored side
+_QMARK = "qmark"    # a `?` assumed to be a delimiter (split recursion)
+_BOUND = "bound"    # query start/end: anchored at message boundary
+# ('delim', text): anchored, the adjacent delimiter run is `text`
+
+_MAX_QMARK_SPLITS = 2   # bound the `?`-as-delimiter expansion
+_MAX_SPLIT_DEPTH = 3    # (GrepCore.hpp:194-233 bounds its combinations too)
+
+
+@dataclass(frozen=True)
+class Branch:
+    """One interpretation of a query token.
+
+    kind:
+      'logtype'   — the region is static text: logtype template must
+                    wildcard-match `pattern`
+      'dictvar'   — the region is a dictionary variable matching
+                    `pattern` (no wildcards in pattern ⇒ exact lookup)
+      'enc'       — the region is an int/float variable with exact
+                    encoding `value` (must appear in encoded_vars)
+      'enc_int'   — imprecise integer var: logtype has an int slot
+      'enc_float' — imprecise float var: logtype has a float slot
+      'split'     — a `?` is a delimiter: AND of `parts` token-preds
+      'any'       — unconstrained
+    """
+
+    kind: str
+    pattern: str | None = None
+    value: int | None = None
+    parts: tuple = ()
+
+
+@dataclass(frozen=True)
+class TokenPred:
+    """OR of interpretation branches for one query token piece."""
+
+    branches: tuple
+
 
 @dataclass
 class CompiledQuery:
     raw: str
     ignore_case: bool
     match_all: bool
-    # wildcard pattern over the logtype *template* string (placeholder
-    # bytes included); None ⇒ no logtype constraint
-    logtype_pattern: str | None
-    # int64 encodings that must each appear in encoded_vars
-    int_vars: list[int] = field(default_factory=list)
-    float_vars: list[int] = field(default_factory=list)
-    # variable-dictionary strings that must each resolve + appear
-    dict_vars: list[str] = field(default_factory=list)
-    # the same conditions in query order — ("int"|"float", encoding) or
-    # ("dict", token) — for the subsequence refinement
-    # (Query.hpp:245-270: query vars must appear in order,
-    # non-contiguously, among the message's variables)
+    # one TokenPred per token piece; row predicate = AND over tokens of
+    # (OR over branches). None ⇒ no prefilterable tokens.
+    tokens: list[TokenPred] = field(default_factory=list)
+    # exact-token conditions in query order — ("int"|"float", encoding) or
+    # ("dict", token) — for the opt-in subsequence refinement
+    # (Query.hpp:245-270). Only tokens that are *certainly* variables.
     ordered_vars: list[tuple] = field(default_factory=list)
     # full wildcard pattern for the final confirm on decoded text
     confirm_pattern: str = "*"
 
 
 def _scan(query: str):
-    """Split a query into runs: ('tok'|'delim'|'wild', text, has_wildcard).
+    """Split a query into runs: ('tok'|'delim', [(char, is_meta)]).
 
     Escapes (`\\*`, `\\?`, `\\\\`) are resolved here; an escaped wildcard
-    is a literal char. `\\` itself is a token char (same delimiter set as
-    compression: ir/parsing.cpp:20-24).
+    is a literal char (and `*`/`?` literals are delimiters). `\\` itself
+    is a token char (same delimiter set as compression:
+    ir/parsing.cpp:20-24). Meta `*`/`?` belong to token runs — a
+    wildcard may stand for token chars.
     """
-    chars: list[tuple[str, bool]] = []  # (char, is_wildcard_meta)
+    chars: list[tuple[str, bool]] = []
     i, n = 0, len(query)
     while i < n:
         c = query[i]
@@ -79,29 +121,14 @@ def _scan(query: str):
             chars.append((c, False))
             i += 1
 
-    runs: list[list] = []  # [kind, [chars], has_wild]
+    runs: list[tuple[str, list]] = []
     for c, is_meta in chars:
-        if is_meta:
-            kind = "wild"
-        elif is_delim(c):
-            kind = "delim"
+        kind = "tok" if (is_meta or not is_delim(c)) else "delim"
+        if runs and runs[-1][0] == kind:
+            runs[-1][1].append((c, is_meta))
         else:
-            kind = "tok"
-        # wildcards glue to adjacent token runs (a wildcard may stand for
-        # token chars); delimiters never merge with tokens
-        if runs and (
-            runs[-1][0] == kind
-            or (runs[-1][0] in ("tok", "wild") and kind in ("tok", "wild"))
-        ):
-            if kind == "wild" or runs[-1][0] == "wild":
-                runs[-1][0] = "tok"
-                runs[-1][2] = True
-            runs[-1][1].append(c)
-            if kind == "wild":
-                runs[-1][2] = True
-        else:
-            runs.append([kind if kind != "wild" else "tok", [c], kind == "wild"])
-    return [(k, "".join(cs), w) for k, cs, w in runs]
+            runs.append((kind, [(c, is_meta)]))
+    return runs
 
 
 def compile_query(
@@ -117,78 +144,173 @@ def compile_query(
         q = "*" + q + "*"
 
     runs = _scan(q)
-    # a run is "clean" iff it has no wildcard and its neighbors on both
-    # sides are delimiter runs or string boundaries
-    lt_parts: list[str] = []
-    int_vars: list[int] = []
-    float_vars: list[int] = []
-    dict_vars: list[str] = []
-    ordered: list[tuple] = []
-    any_constraint = False
-
-    for idx, (kind, text, has_wild) in enumerate(runs):
-        if kind == "delim":
-            lt_parts.append(_escape_for_pattern(text))
-            continue
-        prev_ok = idx == 0 or runs[idx - 1][0] == "delim"
-        next_ok = idx == len(runs) - 1 or runs[idx + 1][0] == "delim"
-        clean = (not has_wild) and prev_ok and next_ok
-        if not clean:
-            if lt_parts and lt_parts[-1] == "*":
-                continue
-            lt_parts.append("*")
-            continue
-        # classify exactly as the compression tokenizer would in context
-        preceded_by_eq = idx > 0 and runs[idx - 1][1].endswith("=")
-        has_digit = any("0" <= ch <= "9" for ch in text)
-        if has_digit:
-            iv = encode_int(text)
-            if iv is not None:
-                lt_parts.append(_wc_escape(PLACEHOLDER_INT))
-                int_vars.append(iv)
-                ordered.append(("int", iv))
-            else:
-                fv = encode_float(text)
-                if fv is not None:
-                    lt_parts.append(_wc_escape(PLACEHOLDER_FLOAT))
-                    float_vars.append(fv)
-                    ordered.append(("float", fv))
-                else:
-                    lt_parts.append(_wc_escape(PLACEHOLDER_DICT))
-                    dict_vars.append(text)
-                    ordered.append(("dict", text))
-            any_constraint = True
-        elif (preceded_by_eq and any(ch.isalpha() for ch in text)) or _is_hex(text):
-            lt_parts.append(_wc_escape(PLACEHOLDER_DICT))
-            dict_vars.append(text)
-            ordered.append(("dict", text))
-            any_constraint = True
-        else:
-            # static text — appears verbatim in the logtype template
-            lt_parts.append(_escape_for_pattern(text))
-            any_constraint = True
-
-    lt_pattern = "".join(lt_parts)
-    # match-all iff the *entire* confirm pattern is unescaped '*'s — then
-    # both the prefilter and the confirm are trivially true ("*" alone
-    # supersedes everything: GrepCore.hpp:383-387). A query like
-    # "*deadbeef*" has no prefilterable token (everything touches a
-    # wildcard) yet still needs the decode+confirm stage.
     match_all = all(
-        k == "tok" and w and set(t) <= {"*"} for k, t, w in runs
-    )
-    no_prefilter = not any_constraint and set(lt_pattern) <= {"*"}
+        k == "tok" and all(m and c == "*" for c, m in cs) for k, cs in runs
+    ) or not runs
+    if match_all:
+        return CompiledQuery(
+            raw=query, ignore_case=ignore_case, match_all=True,
+            confirm_pattern=q,
+        )
+
+    tokens: list[TokenPred] = []
+    ordered: list[tuple] = []
+    for ri, (kind, cs) in enumerate(runs):
+        if kind == "delim":
+            continue
+        # neighbor context for the run's outermost pieces
+        if ri > 0:
+            lctx = ("delim", "".join(c for c, _ in runs[ri - 1][1]))
+        else:
+            lctx = (_BOUND,)
+        if ri < len(runs) - 1:
+            rctx = ("delim", "".join(c for c, _ in runs[ri + 1][1]))
+        else:
+            rctx = (_BOUND,)
+
+        # split the run at meta '*' into pieces; each piece keeps a star
+        # context on the cut sides (CLP shares the '*' between neighbors)
+        pieces: list[list] = [[]]
+        for c, m in cs:
+            if m and c == "*":
+                pieces.append([])
+            else:
+                pieces[-1].append((c, m))
+        last = len(pieces) - 1
+        for pi, piece in enumerate(pieces):
+            if not piece:
+                continue
+            pl = lctx if pi == 0 else (_STAR,)
+            pr = rctx if pi == last else (_STAR,)
+            tp, ov = _piece_pred(piece, pl, pr, depth=0)
+            tokens.append(tp)
+            if ov is not None:
+                ordered.append(ov)
+
     return CompiledQuery(
         raw=query,
         ignore_case=ignore_case,
-        match_all=match_all,
-        logtype_pattern=None if (match_all or no_prefilter) else lt_pattern,
-        int_vars=int_vars,
-        float_vars=float_vars,
-        dict_vars=dict_vars,
+        match_all=False,
+        tokens=tokens,
         ordered_vars=ordered,
         confirm_pattern=q,
     )
+
+
+def _piece_pred(piece, lctx, rctx, depth):
+    """Branches for one token piece → (TokenPred, ordered_var | None)."""
+    text = "".join(c for c, _ in piece)
+    qmark_idx = [i for i, (c, m) in enumerate(piece) if m and c == "?"]
+    lits = [c for c, m in piece if not m]
+    lit_digit = any("0" <= c <= "9" for c in lits)
+    lit_alpha = any(c.isalpha() for c in lits)
+    star_l = lctx[0] == _STAR
+    star_r = rctx[0] == _STAR
+    has_wild = bool(qmark_idx) or star_l or star_r
+    is_exact = not qmark_idx and not star_l and not star_r
+    eq_certain = lctx[0] == "delim" and lctx[1].endswith("=")
+    eq_possible = eq_certain or lctx[0] in (_STAR, _QMARK)
+
+    branches: list[Branch] = []
+    ordered_var = None
+
+    if is_exact:
+        # classification is exact — replicate the compression tokenizer
+        # (digit ⇒ int/float/dict by encodability; hex ⇒ dict;
+        #  '='-preceded alpha ⇒ dict; else static)
+        if lit_digit:
+            iv = encode_int(text)
+            if iv is not None:
+                branches.append(Branch("enc", value=iv))
+                ordered_var = ("int", iv)
+            else:
+                fv = encode_float(text)
+                if fv is not None:
+                    branches.append(Branch("enc", value=fv))
+                    ordered_var = ("float", fv)
+                else:
+                    branches.append(Branch("dictvar", pattern=text))
+                    ordered_var = ("dict", text)
+        elif _is_hex(text):
+            branches.append(Branch("dictvar", pattern=text))
+            ordered_var = ("dict", text)
+        elif lit_alpha and eq_certain:
+            branches.append(Branch("dictvar", pattern=text))
+            ordered_var = ("dict", text)
+        elif lit_alpha and eq_possible:
+            branches.append(Branch("dictvar", pattern=text))
+            branches.append(Branch("logtype", pattern=_static_pattern(piece, lctx, rctx)))
+        else:
+            branches.append(Branch("logtype", pattern=_static_pattern(piece, lctx, rctx)))
+    else:
+        # wildcard-touched piece: every feasible interpretation ORs in
+        if all(c in "0123456789-" for c in lits):
+            branches.append(Branch("enc_int"))
+        if all(c in "0123456789-." for c in lits):
+            branches.append(Branch("enc_float"))
+        # a wildcard can always produce a digit/letter mix ⇒ dict feasible
+        branches.append(Branch("dictvar", pattern=_var_pattern(piece, lctx, rctx)))
+        # static text feasible unless a literal forces variable-hood
+        if not lit_digit and not (eq_certain and lit_alpha) and not (
+            not qmark_idx and not star_l and not star_r and _is_hex(text)
+        ):
+            branches.append(Branch("logtype", pattern=_static_pattern(piece, lctx, rctx)))
+
+    # `?`-as-delimiter splits (a '?' matches delimiters too:
+    # string_utils.hpp:119-154) — bounded recursion
+    if qmark_idx:
+        if len(qmark_idx) > _MAX_QMARK_SPLITS or depth >= _MAX_SPLIT_DEPTH:
+            branches.append(Branch("any"))
+        else:
+            for qi in qmark_idx:
+                left, right = piece[:qi], piece[qi + 1 :]
+                parts = []
+                if left:
+                    parts.append(_piece_pred(left, lctx, (_QMARK,), depth + 1)[0])
+                if right:
+                    parts.append(_piece_pred(right, (_QMARK,), rctx, depth + 1)[0])
+                if parts:
+                    branches.append(Branch("split", parts=tuple(parts)))
+                else:
+                    branches.append(Branch("any"))
+
+    return TokenPred(branches=tuple(dict.fromkeys(branches))), ordered_var
+
+
+def _var_pattern(piece, lctx, rctx) -> str:
+    """Wildcard pattern the candidate dictionary variable must fullmatch.
+
+    Anchored on sides bounded by a known delimiter / boundary / assumed
+    `?`-delimiter; open (`*`) on wildcard sides.
+    """
+    out = ["*"] if lctx[0] == _STAR else []
+    for c, m in piece:
+        out.append("?" if m else _wc_escape(c))
+    if rctx[0] == _STAR:
+        out.append("*")
+    return "".join(out)
+
+
+def _static_pattern(piece, lctx, rctx) -> str:
+    """Wildcard pattern the logtype template must fullmatch when the
+    piece is static text. Adjacent delimiter runs anchor the pattern
+    (delimiters stay verbatim in the template); unknown contexts open
+    with `*`. A `?`-context uses `*` (not `?`) because a placeholder
+    byte in static text is stored escaped as two chars."""
+    if lctx[0] == "delim":
+        out = ["*", _escape_for_pattern(lctx[1])]
+    elif lctx[0] == _BOUND:
+        out = []
+    else:
+        out = ["*"]
+    for c, m in piece:
+        out.append("?" if m else _escape_for_pattern(c))
+    if rctx[0] == "delim":
+        out.append(_escape_for_pattern(rctx[1]))
+        out.append("*")
+    elif rctx[0] != _BOUND:
+        out.append("*")
+    return "".join(out)
 
 
 def _is_hex(s: str) -> bool:
@@ -207,3 +329,11 @@ def _escape_for_pattern(text: str) -> str:
     literal for the wildcard-pattern language (compression escapes
     placeholder bytes and backslashes: ir/parsing.inc)."""
     return _wc_escape(text.translate(_ESC_TRANS))
+
+
+# placeholder byte exports for the executor's imprecise-var branches
+PLACEHOLDERS = {
+    "enc_int": PLACEHOLDER_INT,
+    "enc_float": PLACEHOLDER_FLOAT,
+    "dict": PLACEHOLDER_DICT,
+}

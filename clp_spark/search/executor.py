@@ -1,73 +1,193 @@
-"""Search execution: 3-stage pruning, then decode+confirm survivors.
+"""Search execution: staged pruning, then decode+confirm survivors.
 
 Mirrors the reference's staged search
 (/root/reference/components/core/src/clp/Grep.cpp:81-139 and
 Query.hpp:103-121,168-241):
   (1) timestamp-range predicate → parquet/Iceberg scan pruning (free);
-  (2) logtype-dictionary wildcard match → candidate logtype-ID set
-      (DictionaryReader.hpp:274-290); empty set ⇒ return empty, no scan;
-  (3) variable conditions on encoded columns: int/float encodings via
-      array_contains, dictionary vars resolved against the var dict
-      (miss ⇒ empty) then arrays_overlap on dict_var_ids;
+  (2+3) the compiled per-token interpretation branches
+      (compiler.py, GrepCore.hpp:139-403) become ONE Catalyst filter over
+      the encoded columns: logtype-ID sets from wildcard matches against
+      the logtype dictionary (DictionaryReader.hpp:274-290), var-ID sets
+      from exact/wildcard var-dict scans → arrays_overlap, exact int/float
+      encodings → array_contains. An infeasible token (dictionary miss)
+      ⇒ empty result with no data scan;
   (4) decode only surviving rows and wildcard-confirm (Grep.cpp:115-132).
 
 All prefilters are supersets; the confirm is exact ⇒ results are exact.
-Dictionary matching runs driver-side on the collected dict (CLP loads
-dictionaries in memory too — DictionaryReader.hpp:241-290); above
-`max_driver_dict_rows` it switches to an `rlike` filter + semi-join so
-nothing ever requires the dict to fit on the driver.
+Dictionary matching runs driver-side on the collected dicts (CLP loads
+dictionaries in memory too — DictionaryReader.hpp:241-290). Any ID set
+larger than `_MAX_ISIN_IDS`, or a dictionary larger than
+`_MAX_DRIVER_DICT_ROWS`, degrades that branch to *unconstrained* (never
+truncated) so pruning weakens gracefully while staying a superset.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
-from clp_spark.search.compiler import CompiledQuery, compile_query
+from clp_spark.config import PLACEHOLDER_FLOAT, PLACEHOLDER_INT
+from clp_spark.search.compiler import CompiledQuery, TokenPred, compile_query
 from clp_spark.search.decode import decode_messages
 from clp_spark.search.wildcard import wildcard_to_java_regex, wildcard_to_regex
 
-# above this many candidate IDs, prefilter via broadcast semi-join
-# instead of an isin literal list
+# above this many candidate IDs a branch stops constraining (supersets
+# only — never a truncated ID list, which would drop matching rows)
 _MAX_ISIN_IDS = 4096
-# above this many dict rows, don't collect to the driver
+# above this many dict rows, don't collect to the driver: search falls
+# back to decode-everything + confirm (still exact), and decode_messages
+# takes its join-based path
 _MAX_DRIVER_DICT_ROWS = 2_000_000
 
 
-def _candidate_logtype_ids(
-    logtype_dict: DataFrame, cq: CompiledQuery
-) -> list[int] | DataFrame | None:
-    """Logtype IDs whose template wildcard-matches the compiled pattern.
+class _DictIndex:
+    """Driver-side dictionaries with memoized pattern matching."""
 
-    Returns None for "no constraint", a list when small enough to
-    collect, else a DataFrame of ids for a semi-join.
-    """
-    if cq.logtype_pattern is None:
-        return None
-    n = logtype_dict.count()
-    if n <= _MAX_DRIVER_DICT_ROWS:
-        rx = wildcard_to_regex(cq.logtype_pattern, cq.ignore_case)
-        return [
-            r["logtype_id"]
-            for r in logtype_dict.select("logtype_id", "logtype").collect()
-            if rx.fullmatch(r["logtype"]) is not None
+    def __init__(self, lt_rows, var_rows):
+        self.lt_rows = lt_rows      # list[(logtype_id, logtype)]
+        self.var_rows = var_rows    # list[(var_id, value)]
+        self._cache: dict = {}
+
+    def logtype_ids(self, pattern: str, ignore_case: bool):
+        """IDs of templates fullmatching the wildcard pattern; None ⇒
+        too many (degrade to unconstrained)."""
+        key = ("lt", pattern, ignore_case)
+        if key not in self._cache:
+            rx = wildcard_to_regex(pattern, ignore_case)
+            ids = {i for i, t in self.lt_rows if rx.fullmatch(t) is not None}
+            self._cache[key] = None if len(ids) > _MAX_ISIN_IDS else ids
+        return self._cache[key]
+
+    def var_ids_exact(self, text: str, ignore_case: bool):
+        key = ("vx", text, ignore_case)
+        if key not in self._cache:
+            if ignore_case:
+                t = text.lower()
+                ids = {i for i, v in self.var_rows if v.lower() == t}
+            else:
+                ids = {i for i, v in self.var_rows if v == text}
+            self._cache[key] = None if len(ids) > _MAX_ISIN_IDS else ids
+        return self._cache[key]
+
+    def var_ids(self, pattern: str, ignore_case: bool):
+        key = ("vw", pattern, ignore_case)
+        if key not in self._cache:
+            rx = wildcard_to_regex(pattern, ignore_case)
+            ids = {i for i, v in self.var_rows if rx.fullmatch(v) is not None}
+            self._cache[key] = None if len(ids) > _MAX_ISIN_IDS else ids
+        return self._cache[key]
+
+    def lt_with_placeholder(self, ph: str):
+        """IDs of templates containing the placeholder byte (superset:
+        escaped occurrences included — they are vanishingly rare)."""
+        key = ("ph", ph)
+        if key not in self._cache:
+            self._cache[key] = {i for i, t in self.lt_rows if ph in t}
+        return self._cache[key]
+
+
+# (lt_df_id, v_df_id) → (lt_df, v_df, _DictIndex | None); the DataFrame
+# refs pin the id()s. One collect per corpus per session, not per query.
+_INDEX_CACHE: dict = {}
+
+
+def _load_index(logtype_dict: DataFrame, var_dict: DataFrame) -> _DictIndex | None:
+    key = (id(logtype_dict), id(var_dict))
+    hit = _INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit[2]
+    cap = _MAX_DRIVER_DICT_ROWS
+    lt_rows = [
+        (r["logtype_id"], r["logtype"])
+        for r in logtype_dict.select("logtype_id", "logtype").limit(cap + 1).collect()
+    ]
+    idx: _DictIndex | None = None
+    if len(lt_rows) <= cap:
+        v_rows = [
+            (r["var_id"], r["value"])
+            for r in var_dict.select("var_id", "value").limit(cap + 1).collect()
         ]
-    jrx = wildcard_to_java_regex(cq.logtype_pattern, cq.ignore_case)
-    return logtype_dict.filter(
-        F.col("logtype").rlike("\\A(?:" + jrx + ")\\z")
-    ).select("logtype_id")
+        if len(v_rows) <= cap:
+            idx = _DictIndex(lt_rows, v_rows)
+    _INDEX_CACHE[key] = (logtype_dict, var_dict, idx)
+    return idx
 
 
-def _dict_var_ids(var_dict: DataFrame, tok: str, ignore_case: bool) -> list[int]:
-    """Exact (or case-folded) variable-dictionary lookup → ID set.
+def _has_meta(pattern: str) -> bool:
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            i += 2
+            continue
+        if c in ("*", "?"):
+            return True
+        i += 1
+    return False
 
-    Reference: DictionaryReader.hpp:241-272 (exact) / :274-290 (set).
-    """
-    if ignore_case:
-        hits = var_dict.filter(F.lower(F.col("value")) == tok.lower())
-    else:
-        hits = var_dict.filter(F.col("value") == tok)
-    return [r["var_id"] for r in hits.select("var_id").limit(_MAX_ISIN_IDS).collect()]
+
+def _token_pred(tp: TokenPred, idx: _DictIndex, ignore_case: bool):
+    """One token's OR-of-branches → Column | None (unconstrained) |
+    False (infeasible ⇒ whole query is empty)."""
+    lt_ids: set = set()
+    conds: list[Column] = []
+    for br in tp.branches:
+        k = br.kind
+        if k == "any":
+            return None
+        if k == "logtype":
+            ids = idx.logtype_ids(br.pattern, ignore_case)
+            if ids is None:
+                return None
+            lt_ids |= ids
+        elif k == "enc_int":
+            lt_ids |= idx.lt_with_placeholder(PLACEHOLDER_INT)
+        elif k == "enc_float":
+            lt_ids |= idx.lt_with_placeholder(PLACEHOLDER_FLOAT)
+        elif k == "enc":
+            conds.append(F.array_contains("encoded_vars", F.lit(int(br.value))))
+        elif k == "dictvar":
+            if _has_meta(br.pattern):
+                ids = idx.var_ids(br.pattern, ignore_case)
+            else:
+                ids = idx.var_ids_exact(br.pattern, ignore_case)
+            if ids is None:
+                return None
+            if ids:
+                conds.append(
+                    F.arrays_overlap(
+                        "dict_var_ids",
+                        F.array(*[F.lit(int(i)) for i in sorted(ids)]),
+                    )
+                )
+        elif k == "split":
+            sub: list[Column] = []
+            dead = False
+            for part in br.parts:
+                p = _token_pred(part, idx, ignore_case)
+                if p is False:
+                    dead = True
+                    break
+                if p is not None:
+                    sub.append(p)
+            if dead:
+                continue  # this split interpretation is impossible
+            if not sub:
+                return None  # split interpretation is unconstrained
+            c = sub[0]
+            for s in sub[1:]:
+                c = c & s
+            conds.append(c)
+    if lt_ids:
+        if len(lt_ids) > _MAX_ISIN_IDS:
+            return None
+        conds.append(F.col("logtype_id").isin(sorted(lt_ids)))
+    if not conds:
+        return False
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
 
 
 def search(
@@ -105,40 +225,25 @@ def search(
     if cq.match_all:
         return decode_messages(df, logtype_dict, var_dict, text_col) if decode else df
 
-    # (2) logtype-dictionary pushdown
-    cand = _candidate_logtype_ids(logtype_dict, cq)
-    if isinstance(cand, list):
-        if not cand:
-            return _empty_like(df, logtype_dict, var_dict, decode, text_col)
-        if len(cand) <= _MAX_ISIN_IDS:
-            df = df.filter(F.col("logtype_id").isin(cand))
-        else:
-            spark = df.sparkSession
-            ids_df = spark.createDataFrame(
-                [(int(i),) for i in cand], "logtype_id long"
-            )
-            df = df.join(F.broadcast(ids_df), "logtype_id", "left_semi")
-    elif cand is not None:
-        df = df.join(F.broadcast(cand), "logtype_id", "left_semi")
+    # (2+3) dictionary pushdown: one Catalyst predicate per token
+    idx = _load_index(logtype_dict, var_dict)
+    if idx is not None:
+        for tp in cq.tokens:
+            p = _token_pred(tp, idx, cq.ignore_case)
+            if p is False:
+                return _empty_like(df, logtype_dict, var_dict, decode, text_col)
+            if p is not None:
+                df = df.filter(p)
 
-    # (3) variable conditions on encoded columns — no decode needed
-    for v in cq.int_vars + cq.float_vars:
-        df = df.filter(F.array_contains("encoded_vars", F.lit(int(v))))
-    for tok in cq.dict_vars:
-        ids = _dict_var_ids(var_dict, tok, cq.ignore_case)
-        if not ids:
-            return _empty_like(df, logtype_dict, var_dict, decode, text_col)
-        df = df.filter(
-            F.arrays_overlap(
-                "dict_var_ids", F.array(*[F.lit(int(i)) for i in ids])
-            )
-        )
-
-    # (3b) optional refinement: query vars must appear IN ORDER as a
-    # subsequence of the message's encoded vars (Query.hpp:245-270).
-    # Pure pruning — the confirm stage stays exact either way.
-    if require_var_order and cq.ordered_vars:
-        df = _filter_var_subsequence(df, cq, var_dict)
+        # (3b) optional refinement: query vars must appear IN ORDER as a
+        # subsequence of the message's encoded vars (Query.hpp:245-270).
+        # Pure pruning — the confirm stage stays exact either way.
+        if require_var_order and cq.ordered_vars:
+            df = _filter_var_subsequence(df, cq, idx)
+            if df is None:
+                return _empty_like(
+                    encoded.limit(0), logtype_dict, var_dict, decode, text_col
+                )
 
     if not decode:
         return df
@@ -149,11 +254,12 @@ def search(
     return decoded.filter(F.col(text_col).rlike("\\A(?:" + jrx + ")\\z"))
 
 
-def _filter_var_subsequence(df, cq: CompiledQuery, var_dict):
+def _filter_var_subsequence(df, cq: CompiledQuery, idx: _DictIndex):
     """Keep rows whose encoded_vars contain the query's variable
     encodings in query order (non-contiguous subsequence). Each query
     var is a set of acceptable int64s (dict vars may map to several IDs
-    under ignore-case). Arrow-batched pandas pass."""
+    under ignore-case). Arrow-batched pandas pass. Returns None when a
+    dictionary miss makes the query unsatisfiable."""
     import pandas as pd
 
     needles: list[frozenset] = []
@@ -161,10 +267,14 @@ def _filter_var_subsequence(df, cq: CompiledQuery, var_dict):
         if kind in ("int", "float"):
             needles.append(frozenset((int(v),)))
         else:
-            ids = _dict_var_ids(var_dict, v, cq.ignore_case)
+            ids = idx.var_ids_exact(v, cq.ignore_case)
+            if ids is None:
+                continue  # oversized set: skip this needle (stay superset)
             if not ids:
-                return df.limit(0)
+                return None
             needles.append(frozenset(int(i) for i in ids))
+    if not needles:
+        return df
 
     spark = df.sparkSession
     b_needles = spark.sparkContext.broadcast(needles)

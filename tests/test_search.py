@@ -185,22 +185,47 @@ def test_decode_roundtrip_full_table(corpus, pages_pdf):
         assert joined[u] == t
 
 
+def _branch_kinds(cq):
+    return [{b.kind for b in tp.branches} for tp in cq.tokens]
+
+
 def test_compiler_classifies_tokens():
     cq = compile_query("status=500 latency cpu=0.500 deadbeef user=alice ")
-    assert 500 in cq.int_vars
-    assert len(cq.float_vars) == 1
-    assert "deadbeef" in cq.dict_vars and "alice" in cq.dict_vars
+    assert ("int", 500) in cq.ordered_vars
+    assert any(k == "float" for k, _ in cq.ordered_vars)
+    ordered_dicts = [v for k, v in cq.ordered_vars if k == "dict"]
+    assert "deadbeef" in ordered_dicts and "alice" in ordered_dicts
     assert not cq.match_all
-
-    # edge tokens touch the implicit substring '*' wrap → unconstrained
-    cq2 = compile_query("status=500 user=alice")
-    assert "alice" not in cq2.dict_vars
 
     assert compile_query("*").match_all
     assert compile_query("").match_all
 
 
-def test_wildcard_token_is_unconstrained():
-    """Tokens touching wildcards must not generate var conditions."""
-    cq = compile_query("lat*")
-    assert not cq.int_vars and not cq.dict_vars
+def test_wildcard_token_gets_interpretations():
+    """A wildcard-touched token must still produce dictionary-prefilter
+    branches (the round-1 gap: it used to contribute no constraint)."""
+    cq = compile_query("*value*fast*")
+    kinds = _branch_kinds(cq)
+    assert len(kinds) == 2  # tokens 'value' and 'fast', split at '*'
+    for ks in kinds:
+        assert "dictvar" in ks and "logtype" in ks
+        # letters ⇒ numeric interpretations infeasible
+        assert "enc_int" not in ks and "enc_float" not in ks
+
+    # a digit-bearing wildcard token can never be static text
+    cq2 = compile_query("*qz9token*")
+    ks2 = _branch_kinds(cq2)[0]
+    assert "logtype" not in ks2 and "dictvar" in ks2
+
+    # '='-anchored alpha token: variable-only (GrepCore var rule)
+    cq3 = compile_query("user=alice ")
+    ks3 = _branch_kinds(cq3)[-1]
+    assert ks3 == {"dictvar"}
+
+
+def test_qmark_split_branches():
+    """A '?' may stand for a delimiter: the token carries a 'split'
+    interpretation alongside the in-token ones."""
+    cq = compile_query("va?ue table")
+    ks = _branch_kinds(cq)[0]
+    assert "split" in ks and "dictvar" in ks and "logtype" in ks

@@ -232,8 +232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash(_read(spark, sf, "documents"))
 
     def dedup_embedding(spark, sf):
+        # scale path: LSH-plane blocking (no cartesian in the plan);
+        # the oracle mirrors the same deterministic md5 planes
         return embedding_near_dup_pairs(
-            _read(spark, sf, "embeddings"), threshold=(2, 5)
+            _read(spark, sf, "embeddings"), threshold=(2, 5), num_planes=4, dim=64
         )
 
     q["dedup_exact"] = dedup_exact
@@ -383,6 +385,25 @@ FROM bits GROUP BY id
 _QUANT = "list_transform({v}, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))"
 
 
+def _duck_bucket(qvec_expr: str, num_planes: int, dim: int = 64) -> str:
+    """DuckDB mirror of similarity.lsh_bucket_expr: sign-bit signature
+    over the same deterministic md5-derived ±1 hyperplanes, applied to a
+    quantized BIGINT list expr. Integer dots ⇒ identical buckets in both
+    engines."""
+    parts = []
+    for p_ in range(num_planes):
+        w = (
+            f"list_transform(range(0, {dim}), i -> CASE WHEN "
+            f"(CAST(('0x' || substr(md5('{p_}:' || i), 1, 15)) AS BIGINT) & 1) = 1 "
+            f"THEN 1 ELSE -1 END)"
+        )
+        parts.append(
+            f"(CASE WHEN CAST(list_dot_product({qvec_expr}, {w}) AS BIGINT) >= 0 "
+            f"THEN {1 << p_} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     toks = "string_split_regex(trim(text), '\\s+')"
     stop = "'the','a','of','and','to','in','is','it'"
@@ -480,15 +501,30 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "text_simhash": _simhash_sql(),
         "dedup_embedding": f"""
+            WITH qv AS (SELECT vec_id, {_QUANT.format(v='embedding')} qv
+                        FROM embeddings),
+            blk AS (SELECT vec_id, qv, {_duck_bucket('qv', 4)} AS blk FROM qv)
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-            FROM (SELECT vec_id, {_QUANT.format(v='embedding')} qv FROM embeddings) a
-            JOIN (SELECT vec_id, {_QUANT.format(v='embedding')} qv FROM embeddings) b
-              ON a.vec_id < b.vec_id
+            FROM blk a JOIN blk b
+              ON a.blk = b.blk AND a.vec_id < b.vec_id
             WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 0
               AND 25 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
                      * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
                   >= 4 * CAST(list_dot_product(a.qv, a.qv) AS BIGINT)
                        * CAST(list_dot_product(b.qv, b.qv) AS BIGINT)
+        """,
+        "ann_lsh_topk": f"""
+            WITH e AS (SELECT vec_id, {_QUANT.format(v='embedding')} qv
+                       FROM embeddings),
+            q AS (SELECT qv AS qqv, {_duck_bucket('qv', 6)} AS qb
+                  FROM e WHERE vec_id = 0),
+            v AS (SELECT vec_id, qv, {_duck_bucket('qv', 6)} AS vb
+                  FROM e WHERE vec_id != 0)
+            SELECT v.vec_id,
+                   CAST(list_dot_product(v.qv, q.qqv) AS BIGINT) AS dot
+            FROM v, q
+            WHERE xor(v.vb, q.qb) IN (0, 1, 2, 4, 8, 16, 32)
+            ORDER BY dot DESC, v.vec_id ASC LIMIT 10
         """,
         "ann_topk": f"""
             SELECT e.vec_id,
@@ -520,6 +556,6 @@ def oracle_sql() -> dict[str, str]:
                    substr(hex(encode(text)), 1, 8) AS magic_hex
             FROM documents
         """,
-        # ann_lsh_topk, mm_decode_features: non-SQL-expressible (LSH probe
-        # set / stubbed codec) — rows-only check by design.
+        # mm_decode_features: non-SQL-expressible (stubbed codec) —
+        # rows-only check by design.
     }

@@ -208,7 +208,7 @@ def encode_with_dicts(
     logtype_dict: DataFrame,
     var_dict: DataFrame,
     broadcast_threshold: int = 300_000,
-    key_col: str = "url",
+    key_col: str | None = None,
 ) -> DataFrame:
     """Enrich parsed rows with logtype_id and dictionary-var IDs.
 
@@ -216,7 +216,10 @@ def encode_with_dicts(
     var enrich: dictionary value→id map shipped as a broadcast variable and
     applied inside one Arrow batch pass (zero shuffles); falls back to an
     explode/join/regroup (2 shuffles) if the dictionary is too large to
-    broadcast. Output schema matches FIXTURES.md §3 `encoded`.
+    broadcast. The regroup key is a synthesized unique row id (pinned by
+    persisting the keyed frame) — never a caller column, which may not
+    be unique. key_col is accepted for backward compatibility and
+    ignored. Output schema matches FIXTURES.md §3 `encoded`.
     """
     spark = parsed.sparkSession
     with_lt = parsed.join(
@@ -264,17 +267,20 @@ def encode_with_dicts(
 
         return with_lt.mapInPandas(patch, schema=out_schema)
 
-    # Large-dictionary fallback: normalize (posexplode), shuffle-join on the
-    # variable string, regroup by url (url is the pages primary key).
+    # Large-dictionary fallback: synthesize a unique row key (persist
+    # pins the partition-dependent ids so both regroup sides agree),
+    # normalize (posexplode), shuffle-join on the variable string,
+    # regroup by the synthesized key.
+    keyed = with_lt.withColumn("_rid", F.monotonically_increasing_id()).persist()
     exploded = (
-        with_lt.select(
-            key_col,
+        keyed.select(
+            "_rid",
             F.posexplode(F.arrays_zip("var_strs", "var_types", "enc_prelim")).alias(
                 "pos", "v"
             ),
         )
         .select(
-            key_col,
+            "_rid",
             "pos",
             F.col("v.var_strs").alias("value"),
             F.col("v.var_types").alias("vt"),
@@ -285,23 +291,24 @@ def encode_with_dicts(
         "enc2", F.when(F.col("vt") == VT_DICT, F.col("var_id")).otherwise(F.col("enc"))
     )
     regrouped = (
-        joined.groupBy(key_col)
+        joined.groupBy("_rid")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "enc2", "vt"))).alias("a"))
         .select(
-            key_col,
+            "_rid",
             F.expr("transform(a, x -> x.enc2)").alias("encoded_vars"),
             F.expr(
                 f"transform(filter(a, x -> x.vt = {VT_DICT}), x -> x.enc2)"
             ).alias("dict_var_ids"),
         )
     )
-    base = with_lt.drop("var_strs", "var_types", "enc_prelim", "logtype")
+    base = keyed.drop("var_strs", "var_types", "enc_prelim", "logtype")
     return (
-        base.join(regrouped, key_col, "left")
+        base.join(regrouped, "_rid", "left")
         .withColumn(
             "encoded_vars", F.coalesce("encoded_vars", F.expr("array()").cast("array<long>"))
         )
         .withColumn(
             "dict_var_ids", F.coalesce("dict_var_ids", F.expr("array()").cast("array<long>"))
         )
+        .drop("_rid")
     )

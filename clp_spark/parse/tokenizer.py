@@ -34,15 +34,30 @@ from clp_spark.config import (
     VT_INT,
 )
 
-# Matches a token, capturing an optional directly-preceding '=' (the '='
-# itself is a delimiter, so a match starting with '=' *is* the
-# "directly preceded by '='" context from parsing.cpp:80).
-_TOK_EQ_RE = re.compile(r"(=?)([+\-.0-9A-Za-z\\_]+)")
-_DIGIT_RE = re.compile(r"[0-9]")
-_ALPHA_RE = re.compile(r"[A-Za-z]")
-_HEX_RE = re.compile(r"[0-9a-fA-F]{2,}\Z")
-_INT_RE = re.compile(r"(0|-?[1-9][0-9]*)\Z")  # no zero-pad, no '+', no '-0'
-_FLOAT_RE = re.compile(r"-?[0-9]*\.[0-9]+\Z")
+# Single classifying regex that matches ONLY variable tokens — static
+# text is never visited by the Python loop (the hot-path optimization:
+# most log text is static). Boundary lookarounds pin matches to maximal
+# token-char runs; alternation order resolves the type:
+#   i — integer var (no zero-pad, no '+', no '-0'; range-checked after)
+#   f — float var (digit-count-checked after)
+#   d — any digit-bearing token (dictionary var)
+#   e — '='-preceded token containing a letter (dictionary var)
+#   h — 2+-char hex token (dictionary var)
+# A failed boundary backtracks into the next alternative (e.g. '1.2.3':
+# i fails at '.', f fails at the 2nd '.', d takes the whole token), so
+# classification matches the per-token rules of ir/parsing.cpp:74-85 +
+# EncodedVariableInterpreter.cpp:25-143 exactly (fuzz-verified against
+# the oracle).
+_TC = r"+\-.0-9A-Za-z\\_"
+_VAR_RE = re.compile(
+    rf"(?<![{_TC}])"
+    rf"(?:(?P<i>0|-?[1-9][0-9]*)"
+    rf"|(?P<f>-?[0-9]*\.[0-9]+)"
+    rf"|(?P<d>[{_TC}]*[0-9][{_TC}]*)"
+    rf"|(?P<e>(?<==)[{_TC}]*[A-Za-z][{_TC}]*)"
+    rf"|(?P<h>[0-9a-fA-F]{{2,}}))"
+    rf"(?![{_TC}])"
+)
 
 _INT64_MIN = -(2**63)
 _INT64_MAX = 2**63 - 1
@@ -82,48 +97,45 @@ def parse_one(msg: str):
     """Tokenize one message → (logtype, var_strs, var_types, enc_prelim).
 
     enc_prelim holds the int64 encoding for INT/FLOAT vars; DICT slots get
-    0 (patched with the dictionary ID by the enrich stage).
+    0 (patched with the dictionary ID by the enrich stage). The loop only
+    visits variable matches — static-only messages cost one regex scan +
+    one translate.
     """
     lt: list[str] = []
     vs: list[str] = []
     vt: list[int] = []
     ev: list[int] = []
     last = 0
-    for m in _TOK_EQ_RE.finditer(msg):
-        tok = m.group(2)
-        has_digit = _DIGIT_RE.search(tok) is not None
-        if not has_digit:
-            if m.group(1) == "=":
-                if _ALPHA_RE.search(tok) is None:
-                    continue
-            elif _HEX_RE.match(tok) is None:
-                continue
-        # static text up to (but not including) the token; a captured '='
-        # prefix is a delimiter and stays in the logtype
-        start = m.start(2)
-        lt.append(msg[last:start].translate(_ESC_TRANS))
-        enc = None
-        kind = VT_DICT
-        if has_digit:
-            if _INT_RE.match(tok):
-                v = int(tok)
-                if _INT64_MIN <= v <= _INT64_MAX:
-                    enc, kind = v, VT_INT
-            elif _FLOAT_RE.match(tok):
-                f = _encode_float_packed(tok)
-                if f is not None:
-                    enc, kind = f, VT_FLOAT
-        if kind == VT_INT:
-            lt.append(PLACEHOLDER_INT)
-        elif kind == VT_FLOAT:
-            lt.append(PLACEHOLDER_FLOAT)
-        else:
+    for m in _VAR_RE.finditer(msg):
+        tok = m.group(0)
+        kind = m.lastgroup
+        lt.append(msg[last : m.start()].translate(_ESC_TRANS))
+        if kind == "i":
+            v = int(tok)
+            if _INT64_MIN <= v <= _INT64_MAX:
+                lt.append(PLACEHOLDER_INT)
+                vt.append(VT_INT)
+                ev.append(v)
+            else:  # out-of-range integer text → dictionary var
+                lt.append(PLACEHOLDER_DICT)
+                vt.append(VT_DICT)
+                ev.append(0)
+        elif kind == "f":
+            f = _encode_float_packed(tok)
+            if f is not None:
+                lt.append(PLACEHOLDER_FLOAT)
+                vt.append(VT_FLOAT)
+                ev.append(f)
+            else:  # >16 digits → dictionary var
+                lt.append(PLACEHOLDER_DICT)
+                vt.append(VT_DICT)
+                ev.append(0)
+        else:  # d / e / h → dictionary var
             lt.append(PLACEHOLDER_DICT)
-            enc = 0
+            vt.append(VT_DICT)
+            ev.append(0)
         vs.append(tok)
-        vt.append(kind)
-        ev.append(enc)
-        last = m.end(2)
+        last = m.end()
     lt.append(msg[last:].translate(_ESC_TRANS))
     return "".join(lt), vs, vt, ev
 

@@ -61,10 +61,7 @@ def compress_df(
     else:
         lt_dict = build_logtype_dict(parsed, cfg.dict_id_partitions)
         v_dict = build_var_dict(parsed, cfg.dict_id_partitions)
-        key = (passthrough[0] if passthrough else "url")
-        encoded = encode_with_dicts(
-            parsed, lt_dict, v_dict, cfg.driver_dict_cap, key_col=key
-        )
+        encoded = encode_with_dicts(parsed, lt_dict, v_dict, cfg.driver_dict_cap)
     sink_cols = tuple(c for c in sink_cols if c in encoded.columns)
     encoded = add_sink_id(encoded, cfg.num_sinks, cols=sink_cols)
     return encoded, lt_dict, v_dict
@@ -89,25 +86,47 @@ def compress(
     # schemas pinned up front so empty buckets / empty inputs read back fine
     parsed_schema = tokenize_df(pages.limit(0)).schema
 
-    # ---- phase 1: parse (bucket-checkpointed) ----
+    # ---- phase 1: parse (bucket-checkpointed, ONE input pass) ----
+    # All uncommitted buckets are written in a single scan via
+    # partitionBy + dynamic partition overwrite (committed bucket dirs
+    # are untouched; uncommitted garbage from a crashed run is
+    # overwritten). Bucket commits are recorded only after the write
+    # succeeds, so a mid-write crash re-runs exactly the uncommitted set.
     done = manifest.committed("parse")
-    bucketed = pages.withColumn(
-        "_bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.num_checkpoint_buckets))
-    )
-    for b in range(cfg.num_checkpoint_buckets):
-        if b in done:
-            continue
+    todo = [b for b in range(cfg.num_checkpoint_buckets) if b not in done]
+    if todo:
         t0 = time.time()
-        subset = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-        parsed = tokenize_df(subset)
-        path = os.path.join(parsed_dir, f"bucket={b}")
-        parsed.write.mode("overwrite").option(
-            "compression", cfg.compression_codec
-        ).parquet(path)
-        rows = spark.read.schema(parsed_schema).parquet(path).count()
-        manifest.commit(
-            "parse", b, run_id, rows_out=rows, wall_ms=int(1000 * (time.time() - t0))
+        bucketed = pages.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.num_checkpoint_buckets))
         )
+        if len(todo) < cfg.num_checkpoint_buckets:
+            bucketed = bucketed.filter(F.col("bucket").isin(todo))
+        passthrough = [
+            c for c in ("url", "warc_ts", "lang") if c in pages.columns
+        ] + ["bucket"]
+        parsed = tokenize_df(bucketed, passthrough=passthrough)
+        (
+            parsed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", cfg.compression_codec)
+            .partitionBy("bucket")
+            .parquet(parsed_dir)
+        )
+        wall_ms = int(1000 * (time.time() - t0))
+        with_bucket = parsed_schema.add("bucket", "long")
+        counts = {
+            r["bucket"]: r["n"]
+            for r in spark.read.schema(with_bucket)
+            .parquet(parsed_dir)
+            .filter(F.col("bucket").isin(todo))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for b in todo:
+            manifest.commit(
+                "parse", b, run_id, rows_out=int(counts.get(b, 0)), wall_ms=wall_ms
+            )
 
     parsed_all = spark.read.schema(parsed_schema).parquet(parsed_dir)
 
@@ -149,8 +168,13 @@ def compress(
     if "route" not in manifest.committed("route"):
         t0 = time.time()
         if lt_map is None:
-            # resume path: reload dictionaries as driver maps when small
-            if v_dict.count() <= cfg.driver_dict_cap:
+            # resume path: reload dictionaries as driver maps only when
+            # BOTH fit (a large logtype dict must not be collected just
+            # because the var dict happens to be small)
+            if (
+                v_dict.count() <= cfg.driver_dict_cap
+                and lt_dict.count() <= cfg.driver_dict_cap
+            ):
                 lt_map = {
                     r["logtype"]: r["logtype_id"] for r in lt_dict.collect()
                 }
@@ -159,7 +183,7 @@ def compress(
             encoded = encode_with_maps(parsed_all, lt_map, v_map)
         else:
             encoded = encode_with_dicts(
-                parsed_all, lt_dict, v_dict, cfg.driver_dict_cap, key_col="url"
+                parsed_all, lt_dict, v_dict, cfg.driver_dict_cap
             )
         hot = hot_logtypes_from_dict(lt_dict, cfg.hot_logtype_threshold)
         # persist the sinked rows: the metrics aggregation reuses them

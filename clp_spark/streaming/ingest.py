@@ -116,7 +116,13 @@ def _process_batch(
         cols=tuple(c for c in ("logtype_id", "lang") if c in parsed.columns or c == "logtype_id"),
     )
     n = encoded.count()
-    encoded.write.mode("append").partitionBy("sink_id").parquet(sinks_path)
+    # sink rows land in a per-epoch subdirectory with overwrite semantics:
+    # a retry after a crash between this write and the marker OVERWRITES
+    # the same epoch dir instead of appending duplicates, so the marker is
+    # purely advisory (dict upserts are already idempotent via left_anti)
+    encoded.write.mode("overwrite").partitionBy("sink_id").parquet(
+        os.path.join(sinks_path, f"epoch={int(epoch_id)}")
+    )
     parsed.unpersist()
     _mark_epoch(out_dir, epoch_id, rows=n)
 

@@ -162,8 +162,23 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
+    # Verify ONLY candidate pairs: the shingle table is first semi-joined
+    # to candidate doc ids, so the exact-Jaccard join is O(candidate
+    # docs' shingles), never the full all-shingle-sharing-pairs join LSH
+    # exists to avoid. Output is unchanged (inner join ⇒ same pair set).
     p, q = threshold
-    verified = _pair_jaccard(word_shingles(docs, n, id_col, text_col), None).filter(
+    cand = cand.persist()
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("id"))
+        .union(cand.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    # no broadcast hint: AQE converts the semi-join to broadcast when the
+    # candidate set is small, and keeps it a shuffle join when it isn't
+    cand_sh = word_shingles(docs, n, id_col, text_col).join(
+        cand_ids, "id", "left_semi"
+    )
+    verified = _pair_jaccard(cand_sh, None).filter(
         q * F.col("inter") >= p * F.col("union")
     )
     return cand.join(verified, ["doc_a", "doc_b"], "inner").select("doc_a", "doc_b")
@@ -185,22 +200,22 @@ def simhash(
         F.col(id_col).alias("id"),
         F.explode(F.expr(f"split({text_col}, ' ')")).alias("w"),
     ).withColumn("h", F.expr(_h60("w", 7)))
-    per_bit = (
-        words.select("id", "h", F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("j"))
-        .withColumn(
-            "s",
-            F.when(F.expr("(shiftright(h, j) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1)),
-        )
-        .groupBy("id", "j")
-        .agg(F.sum("s").alias("tot"))
+    # one map-side-combined hash aggregate with `bits` sum columns — no
+    # words×bits row blowup (the round-1 version shuffled 60× the rows)
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    per_doc = words.groupBy("id").agg(*aggs)
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j in range(bits)
     )
-    return (
-        per_bit.withColumn(
-            "bitval", F.when(F.col("tot") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
-        )
-        .groupBy("id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    return per_doc.select("id", F.expr(fp).alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -213,17 +228,29 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with Hamming distance ≤ max_hamming.
 
-    Scale path: pigeonhole blocking — split the fingerprint into
-    `blocks` chunks; any pair within distance ≤ max_hamming must agree
-    on ≥1 chunk when blocks > max_hamming/ (bits/blocks)... more
-    precisely when max_hamming < blocks, so candidates join on an exact
-    chunk match instead of cross-joining. Verified with bit_count(xor).
+    Scale path: pigeonhole blocking — the fingerprint's bits are
+    partitioned into `blocks` contiguous chunks (covering ALL bits, with
+    uneven sizes when blocks ∤ bits); a pair within distance
+    ≤ max_hamming must agree exactly on ≥1 chunk whenever
+    max_hamming < blocks, so candidates join on an exact chunk match
+    instead of cross-joining. blocks is raised to max_hamming+1 when the
+    caller's value would silently lose recall (the round-1 defaults
+    did). Verified with bit_count(xor) — output is exact.
     """
+    if blocks <= max_hamming:
+        blocks = max_hamming + 1
+    if blocks > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs blocks={blocks} > bits={bits}: "
+            "pigeonhole blocking cannot guarantee recall; use a smaller "
+            "max_hamming or brute force"
+        )
     s = simhash(docs, bits, id_col, text_col)
-    chunk = bits // blocks
+    bounds = [j * bits // blocks for j in range(blocks + 1)]
     chunk_cols = [
         F.expr(
-            f"named_struct('blk', {j}, 'cv', shiftright(simhash, {j * chunk}) & {(1 << chunk) - 1})"
+            f"named_struct('blk', {j}, 'cv', shiftright(simhash, {bounds[j]})"
+            f" & {(1 << (bounds[j + 1] - bounds[j])) - 1})"
         )
         for j in range(blocks)
     ]
@@ -251,29 +278,45 @@ def embedding_near_dup_pairs(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_blocks: int | None = None,
+    num_planes: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) with cosine similarity ≥ p/q, integer-exact.
 
     Embeddings are quantized (floor(x·scale+0.5)) so dot products and
     norms are integers; cos ≥ p/q becomes
-    dot ≥ 0 ∧ q²·dot² ≥ p²·‖a‖²·‖b‖². Pairing is a block-nested join on
-    a bucket key when num_blocks is set (each vector lands in one block;
-    pairs compared within block unions) — at test scale a plain
-    self-join on a crossable key range.
+    dot ≥ 0 ∧ q²·dot² ≥ p²·‖a‖²·‖b‖².
+
+    num_planes=None compares all pairs (exact, O(n²) — small inputs
+    only). With num_planes=P the scale path runs: each vector lands in a
+    random-hyperplane LSH bucket (deterministic md5-derived ±1 planes,
+    same machinery as similarity.lsh_bucket_expr) and only same-bucket
+    pairs are compared — the self-join keys on the bucket, so the plan
+    is a hash join on 2^P groups, never a cartesian. Within-bucket
+    results are exact; cross-bucket near-dups are traded for the n²→
+    n²/2^P cost cut (standard near-dup practice; recall rises with
+    fewer planes).
     """
+    from clp_spark.textops.similarity import lsh_bucket_expr
+
     p, q = threshold
     quant = f"transform({vec_col}, x -> cast(floor(cast(x as double)*{scale}+0.5) as bigint))"
-    qdf = emb.select(
+    cols = [
         F.col(id_col).alias("id"),
         F.expr(quant).alias("qv"),
-        F.expr(
-            f"aggregate({quant}, 0L, (acc, x) -> acc + x*x)"
-        ).alias("nrm2"),
-    )
+        F.expr(f"aggregate({quant}, 0L, (acc, x) -> acc + x*x)").alias("nrm2"),
+    ]
+    if num_planes is not None:
+        if dim is None:
+            dim = len(emb.select(vec_col).first()[0])
+        cols.append(F.expr(lsh_bucket_expr(vec_col, num_planes, dim, scale)).alias("blk"))
+    qdf = emb.select(*cols)
     a = qdf.alias("a")
     b = qdf.alias("b")
-    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    if num_planes is not None:
+        pairs = a.join(b, "blk").filter(F.col("a.id") < F.col("b.id"))
+    else:
+        pairs = a.join(b, F.col("a.id") < F.col("b.id"))
     dot = F.expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x*y), 0L, (acc, v) -> acc + v)")
     return (
         pairs.withColumn("dot", dot)

@@ -174,6 +174,16 @@ def test_topk_latest(corpus, pages_pdf):
     assert got == want
 
 
+def test_decode_joined_fallback_roundtrip(corpus, pages_pdf):
+    """Forcing driver_dict_cap=1 exercises the explode→join→regroup
+    decode path; text must still be byte-identical per url."""
+    encoded, lt_dict, v_dict = corpus
+    decoded = decode_messages(encoded, lt_dict, v_dict, "rt_text", driver_dict_cap=1)
+    joined = {r["url"]: r["rt_text"] for r in decoded.select("url", "rt_text").collect()}
+    for u, t in zip(pages_pdf["url"], pages_pdf["text"]):
+        assert joined[u] == t
+
+
 def test_decode_roundtrip_full_table(corpus, pages_pdf):
     """Decompressor parity: decode(encode(x)) byte-identical for every row
     (reference identity-transformation test:

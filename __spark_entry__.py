@@ -26,8 +26,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from clp_spark.config import PipelineConfig
-from clp_spark.pipeline import compress_df
+from clp_spark.pipeline import compress, compress_df
 from clp_spark.search import search
+from clp_spark.search.sinks import search_sinks
 from clp_spark.search.executor import count_by_time, count_matches, topk_latest
 from clp_spark.search.decode import decode_messages
 from clp_spark.textops.dedup import (
@@ -79,6 +80,25 @@ def _events_corpus(spark: SparkSession, sf_dir: str):
             ev, PipelineConfig(), text_col="msg", passthrough=["event_id", "ts"]
         )
         _CORPUS_CACHE[key] = (enc.persist(), lt.persist(), vd.persist())
+    return _CORPUS_CACHE[key]
+
+
+def _docs_sinks(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted-archive variant of _docs_corpus: compress the documents
+    table to a temp dir once per (session, sf_dir) — exercises the full
+    route → sink-manifest → pruned-search path."""
+    key = ("docs_sinks", id(spark), sf_dir)
+    if key not in _CORPUS_CACHE:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="clp_entry_sinks_")
+        docs = (
+            _read(spark, sf_dir, "documents")
+            .withColumnRenamed("doc_id", "url")
+            .select("url", "text", "lang")
+        )
+        compress(spark, docs, out, PipelineConfig(num_checkpoint_buckets=1))
+        _CORPUS_CACHE[key] = out
     return _CORPUS_CACHE[key]
 
 
@@ -146,7 +166,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         enc, lt, vd = _events_corpus(spark, sf)
         return search(enc, lt, vd, "* 69}*", ts_col="ts").select("event_id")
 
+    def clp_grep_wildvar(spark, sf):
+        # '?' wildcard inside a token: exercises the split/wildcard-dict
+        # interpretation branches (GrepCore.hpp:251-305)
+        enc, lt, vd = _docs_corpus(spark, sf)
+        return search(enc, lt, vd, "va?ue").select("doc_id")
+
+    def clp_sink_pruned_grep(spark, sf):
+        # persisted archive: route → sink manifests → pruned scan →
+        # staged search (Query.hpp:103-121 segment pruning analog)
+        out = _docs_sinks(spark, sf)
+        return search_sinks(spark, out, "merge batch").select(
+            F.col("url").alias("doc_id")
+        )
+
+    def clp_multiline_assembly(spark, sf):
+        # line→message assembly (MessageParser.cpp:48-95): synthetic log
+        # lines derived from events; every 3rd line is a timestamp-less
+        # continuation and must join the previous message
+        from clp_spark.parse.assemble import assemble_messages
+
+        ev = _read(spark, sf, "events")
+        lines = ev.select(
+            (F.col("event_id") % 10).alias("file"),
+            F.col("event_id").alias("line_no"),
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.concat(F.lit("    at frame "), F.col("event_id")),
+            )
+            .otherwise(
+                F.concat(
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                    F.lit(" "),
+                    F.col("event_type"),
+                )
+            )
+            .alias("line"),
+        )
+        out = assemble_messages(lines)
+        return out.select(
+            F.col("file").cast("long").alias("file"),
+            F.col("msg_idx").cast("long").alias("msg_idx"),
+            "message",
+            F.col("n_lines").cast("long").alias("n_lines"),
+        )
+
     q["clp_grep"] = clp_grep
+    q["clp_multiline_assembly"] = clp_multiline_assembly
+    q["clp_grep_wildvar"] = clp_grep_wildvar
+    q["clp_sink_pruned_grep"] = clp_sink_pruned_grep
     q["clp_grep_phrase"] = clp_grep_phrase
     q["clp_grep_count"] = clp_grep_count
     q["clp_grep_zero"] = clp_grep_zero
@@ -436,6 +504,35 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "clp_grep": "SELECT doc_id FROM documents WHERE text LIKE '%value%fast%'",
+        "clp_multiline_assembly": """
+            WITH lines AS (
+              SELECT event_id % 10 AS file, event_id AS line_no,
+                     CASE WHEN event_id % 3 = 0
+                          THEN '    at frame ' || event_id
+                          ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') || ' ' || event_type
+                     END AS line,
+                     CASE WHEN event_id % 3 = 0 THEN 0 ELSE 1 END AS has_ts
+              FROM events),
+            idx AS (
+              SELECT file, line_no, line,
+                     sum(has_ts) OVER (PARTITION BY file ORDER BY line_no) AS mi
+              FROM lines),
+            grouped AS (
+              SELECT file, mi,
+                     string_agg(line, chr(10) ORDER BY line_no) AS message,
+                     count(*) AS n_lines
+              FROM idx GROUP BY file, mi)
+            SELECT file,
+                   mi - min(mi) OVER (PARTITION BY file) AS msg_idx,
+                   message, n_lines
+            FROM grouped
+        """,
+        "clp_grep_wildvar": (
+            "SELECT doc_id FROM documents WHERE text LIKE '%va_ue%'"
+        ),
+        "clp_sink_pruned_grep": (
+            "SELECT doc_id FROM documents WHERE text LIKE '%merge batch%'"
+        ),
         "clp_grep_phrase": (
             "SELECT doc_id FROM documents WHERE text LIKE '%fast table%'"
         ),

@@ -34,6 +34,7 @@ from clp_spark.route.fanout import (
     add_sink_id,
     hot_logtypes_from_dict,
     route_to_sinks,
+    sink_manifests,
     sink_metrics,
     sink_var_cardinality,
 )
@@ -186,11 +187,20 @@ def compress(
                 parsed_all, lt_dict, v_dict, cfg.driver_dict_cap
             )
         hot = hot_logtypes_from_dict(lt_dict, cfg.hot_logtype_threshold)
-        # persist the sinked rows: the metrics aggregation reuses them
-        # directly instead of re-opening the many small sink files
+        # persist the sinked rows: the metrics/manifest aggregations reuse
+        # them directly instead of re-opening the many small sink files
         enc_sinked = add_sink_id(encoded, cfg.num_sinks).persist()
         route_to_sinks(enc_sinked, sinks_dir, cfg, hot_logtypes=hot, presinked=True)
         encoded_schema = enc_sinked.schema
+        # per-sink inverted indexes (CLP segment-index analog) for
+        # sink-level pruning at search time
+        lt_man, var_man = sink_manifests(enc_sinked)
+        lt_man.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "manifest", "logtype")
+        )
+        var_man.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "manifest", "var")
+        )
         manifest.commit("route", "route", run_id, wall_ms=int(1000 * (time.time() - t0)))
         if "metrics" not in manifest.committed("metrics"):
             t0 = time.time()
@@ -225,5 +235,6 @@ def compress(
         "dicts": dicts_dir,
         "sinks": sinks_dir,
         "metrics": metrics_dir,
+        "sink_manifest": os.path.join(out_dir, "manifest"),
         "manifest": manifest.path,
     }

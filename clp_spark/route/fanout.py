@@ -96,6 +96,28 @@ def route_to_sinks(
     )
 
 
+def sink_manifests(
+    encoded_with_sink: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-sink inverted indexes — the Spark analog of CLP's segment
+    indexes (reference: DictionaryWriter.hpp:72 per-dict segment ID sets;
+    Query.hpp:103-121 calculate_ids_of_matching_segments consumes them).
+
+    Returns (logtype_manifest, var_manifest):
+      logtype_manifest(sink_id, logtype_id) — distinct pairs
+      var_manifest(sink_id, var_id)         — distinct dict-var pairs
+    Both are plain tables (not array columns) so they scale to any
+    dictionary size; search semi-joins them to skip whole sinks."""
+    lt = encoded_with_sink.select("sink_id", "logtype_id").distinct()
+    var = (
+        encoded_with_sink.select(
+            "sink_id", F.explode("dict_var_ids").alias("var_id")
+        )
+        .distinct()
+    )
+    return lt, var
+
+
 def sink_metrics(encoded_with_sink: DataFrame) -> DataFrame:
     """Per-sink aggregate contract (exact-match vs oracle).
 

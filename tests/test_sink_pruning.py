@@ -1,0 +1,82 @@
+"""Segment-index (sink-manifest) pruning: exact results, fewer sinks
+scanned (reference: Query.hpp:103-121 segment pruning)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clp_spark.config import PipelineConfig
+from clp_spark.pipeline import compress
+from clp_spark.search.compiler import compile_query
+from clp_spark.search.executor import _load_index
+from clp_spark.search.sinks import prune_sink_ids, search_sinks
+from clp_spark.search.wildcard import wildcard_match
+
+CFG = PipelineConfig(num_sinks=16, num_checkpoint_buckets=1, shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def compressed(spark, pages_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sink_prune"))
+    res = compress(spark, pages_df, out, CFG)
+    return out, res
+
+
+def _oracle(pages_pdf, query):
+    pat = "*" + query + "*"
+    return {
+        u
+        for u, t in zip(pages_pdf["url"], pages_pdf["text"])
+        if wildcard_match(pat, t)
+    }
+
+
+@pytest.mark.parametrize(
+    "query",
+    ["*deadbeef*", "user=alice", "glob match \\*.parquet", "*latency_ms=*"],
+)
+def test_pruned_search_is_exact(spark, compressed, pages_pdf, query):
+    out, _ = compressed
+    got = {
+        r["url"] for r in search_sinks(spark, out, query).select("url").collect()
+    }
+    assert got == _oracle(pages_pdf, query), query
+
+
+def test_pruning_skips_sinks(spark, compressed):
+    """A query whose candidate IDs live in few sinks must not scan all
+    sink partitions."""
+    out, res = compressed
+    lt_dict = spark.read.parquet(res["dicts"] + "/logtype")
+    v_dict = spark.read.parquet(res["dicts"] + "/var")
+    idx = _load_index(lt_dict, v_dict)
+    lt_man = spark.read.parquet(res["sink_manifest"] + "/logtype")
+    var_man = spark.read.parquet(res["sink_manifest"] + "/var")
+
+    cq = compile_query("*deadbeef*")
+    keep = prune_sink_ids(cq, idx, lt_man, var_man)
+    all_sinks = {
+        r["sink_id"] for r in lt_man.select("sink_id").distinct().collect()
+    }
+    assert keep is not None
+    assert 0 < len(keep) < len(all_sinks)
+
+    # and the sink filter actually reaches the scan as a partition filter
+    sinks = spark.read.parquet(res["sinks"]).filter(F.col("sink_id").isin(keep))
+    plan = sinks._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_zero_hit_query_prunes_every_sink(spark, compressed):
+    out, res = compressed
+    lt_dict = spark.read.parquet(res["dicts"] + "/logtype")
+    v_dict = spark.read.parquet(res["dicts"] + "/var")
+    idx = _load_index(lt_dict, v_dict)
+    lt_man = spark.read.parquet(res["sink_manifest"] + "/logtype")
+    var_man = spark.read.parquet(res["sink_manifest"] + "/var")
+    keep = prune_sink_ids(
+        compile_query("qq7z_missing_token_9x"), idx, lt_man, var_man
+    )
+    assert keep == []
+    assert search_sinks(spark, out, "qq7z_missing_token_9x").count() == 0

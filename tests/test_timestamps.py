@@ -1,4 +1,8 @@
-"""Timestamp pattern table: parse + byte-exact regeneration round trip."""
+"""Timestamp pattern table: parse + byte-exact regeneration round trip.
+
+Pattern ids follow the reference table order
+(TimestampPattern.cpp:124-192); cases below include one example per
+reference pattern family plus the repo extensions."""
 
 from __future__ import annotations
 
@@ -12,51 +16,94 @@ from clp_spark.functions.timestamps import (
     regenerate_timestamp,
 )
 
+# (text, expected pattern id, expected prefix, expected rest)
 CASES = [
-    ("2025-01-02T15:04:05.123 INFO hi", 0, " INFO hi"),
-    ("2025-01-02 15:04:05.999 x", 1, " x"),
-    ("2025-01-02T15:04:05 plain", 2, " plain"),
-    ("2025-01-02 15:04:05 plain", 3, " plain"),
-    ("02/Jan/2025:15:04:05 GET /", 4, " GET /"),
-    ("Jan  2 15:04:05 host daemon: msg", 5, " host daemon: msg"),
-    ("1735830245123 payload", 6, " payload"),
-    ("1735830245 payload", 7, " payload"),
-    ("no timestamp here", None, "no timestamp here"),
+    ("2015-01-31T15:50:45.392 INFO hi", 0, "", " INFO hi"),
+    ("2015-01-31T15:50:45,392 x", 1, "", " x"),
+    ("2015-01-31 15:50:45.392 x", 2, "", " x"),
+    ("2015-01-31 15:50:45,392 x", 3, "", " x"),
+    ("2015/01/31T15:50:45.123 x", 4, "", " x"),
+    ("2015/01/31 15:50:45.123 x", 6, "", " x"),
+    ("[2015-01-31 15:50:45,085] x", 8, "", " x"),
+    ("INFO [main] 2015-01-31 15:50:45,085 x", 9, "INFO [main] ", " x"),
+    ("<<<2016-11-10 03:02:29:936 x", 10, "", " x"),
+    ("01 Jan 2016 15:50:17,085 x", 11, "", " x"),
+    ("2015-01-31T15:50:45 plain", 12, "", " plain"),
+    ("2015-01-31 15:50:45 plain", 13, "", " plain"),
+    ("2015/01/31 15:50:45 x", 15, "", " x"),
+    ("[2015-01-31T15:50:45] x", 16, "", "] x"),
+    ("[20170106-16:56:41] x", 17, "", " x"),
+    ("Start-Date: 2015-01-31  15:50:45 x", 18, "Start-Date: ", " x"),
+    ("15/01/31 15:50:45 x", 19, "", " x"),
+    ("150131  9:50:45 x", 20, "", " x"),
+    ("Jan 01, 2016 3:50:17 PM x", 21, "", " x"),
+    ("January 31, 2015 15:50 x", 22, "", " x"),
+    ("E [31/Jan/2015:15:50:45 x", 23, "E ", " x"),
+    ("192.168.4.5 - - [01/Jan/2016:15:50:17 x", 24, "192.168.4.5 - - ", " x"),
+    ("192.168.4.5 - - [01/01/2016:15:50:17 x", 25, "192.168.4.5 - - ", " x"),
+    (
+        'Started POST "/a" for 1.2.3.4 at 2017-06-18 00:20:44 x',
+        26,
+        'Started POST "/a" for 1.2.3.4 at ',
+        " x",
+    ),
+    ("update-alternatives 2015-01-31 15:50:45 x", 27, "update-alternatives ", " x"),
+    (
+        "ERROR: apport (pid 4557) Sun Feb  1 15:50:45 2015 x",
+        28,
+        "ERROR: apport (pid 4557) ",
+        " x",
+    ),
+    ("Sun Feb  1 15:50:45 2015 x", 29, "", " x"),
+    ("Jan 21 11:56:42 x", 30, "", " x"),
+    ("01-21 11:56:42.392 x", 31, "", " x"),
+    ("916321 x", 32, "", " x"),
+    ("Jan  2 15:04:05 host daemon: msg", 33, "", " host daemon: msg"),
+    ("1735830245123 payload", 32, "", " payload"),  # %#3 wins over epoch13
+    ("0735830245 payload", 35, "", " payload"),  # leading 0 → epoch-sec
+    ("no timestamp here", None, "", "no timestamp here"),
 ]
 
 
-@pytest.mark.parametrize("text,pid,rest", CASES)
-def test_match_and_roundtrip(text, pid, rest):
-    got_pid, ts_ms, got_rest = match_leading_timestamp(text)
-    assert got_pid == pid
+@pytest.mark.parametrize("text,pid,prefix,rest", CASES)
+def test_match_and_roundtrip(text, pid, prefix, rest):
+    got_pid, ts_ms, got_prefix, got_rest = match_leading_timestamp(text)
+    assert got_pid == pid, text
+    assert got_prefix == prefix
     assert got_rest == rest
     if pid is not None:
         regen = regenerate_timestamp(pid, ts_ms)
-        assert regen + rest == text  # byte-identical reconstruction
+        assert prefix + regen + rest == text  # byte-identical reconstruction
 
 
-@settings(max_examples=200, deadline=None)
+def test_pattern_count_matches_reference():
+    # 33 reference patterns + 3 repo extensions
+    assert len(TS_PATTERNS) == 36
+
+
+@settings(max_examples=300, deadline=None)
 @given(
     st.integers(min_value=0, max_value=4102444799_000),  # 1970..2099
     st.integers(min_value=0, max_value=len(TS_PATTERNS) - 1),
 )
 def test_regen_reparses_to_same_value(ts_ms, pid):
-    # syslog has no year → same-ms only within 1970; mod out the year part
-    text = regenerate_timestamp(pid, ts_ms) + " tail"
-    got_pid, got_ts, rest = match_leading_timestamp(text)
-    assert rest == " tail"
-    assert got_pid == pid or TS_PATTERNS[got_pid][0].pattern == TS_PATTERNS[pid][0].pattern
-    if pid not in (5,):  # syslog drops the year
-        # ms-precision loss only where the pattern has no ms field
-        scale = 1000 if pid in (2, 3, 4, 7) else 1
-        assert got_ts // scale * scale == ts_ms // scale * scale
+    pat = TS_PATTERNS[pid]
+    if pat.num_spaces > 0:
+        return  # prefixed patterns regenerate only the ts span
+    text = pat.regen(ts_ms) + " tail"
+    got_pid, got_ts, _prefix, rest = match_leading_timestamp(text)
+    assert rest == " tail" or rest.endswith(" tail")
+    # an earlier pattern may legitimately win; whoever wins, regenerating
+    # with the winner must reproduce the exact same text span
+    assert regenerate_timestamp(got_pid, got_ts) + rest == text
 
 
 def test_extract_df(spark):
     df = spark.createDataFrame(
-        [(i, t) for i, (t, _, _) in enumerate(CASES)], "id long, text string"
+        [(i, t) for i, (t, _, _, _) in enumerate(CASES)], "id long, text string"
     )
     rows = {r["id"]: r for r in extract_timestamp_df(df, keep=["id"]).collect()}
-    for i, (text, pid, rest) in enumerate(CASES):
+    for i, (text, pid, prefix, rest) in enumerate(CASES):
         assert rows[i]["ts_pattern_id"] == pid
+        assert rows[i]["ts_prefix"] == (prefix if pid is not None else "")
         assert rows[i]["rest"] == rest

@@ -211,7 +211,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_lines").cast("long").alias("n_lines"),
         )
 
+    def _events_json_archive(spark, sf):
+        # clp_s path: JSON records (typed ints, VarStrings, a ClpString
+        # message) → schema tree + typed encode; cached per (session, sf)
+        key = ("json_arch", id(spark), sf)
+        if key not in _CORPUS_CACHE:
+            from clp_spark.clps import encode_json_df
+
+            ev = _read(spark, sf, "events")
+            j = ev.select(
+                "event_id",
+                F.to_json(
+                    F.struct(
+                        F.col("event_type").alias("type"),
+                        F.col("user_id").alias("uid"),
+                        F.get_json_object("props", "$.k")
+                        .cast("long")
+                        .alias("k"),
+                        F.concat(
+                            F.lit("user "),
+                            "user_id",
+                            F.lit(" did "),
+                            "event_type",
+                        ).alias("msg"),
+                    )
+                ).alias("json"),
+            )
+            arch = encode_json_df(j, "json", passthrough=["event_id"])
+            arch.encoded = arch.encoded.persist()
+            _CORPUS_CACHE[key] = arch
+        return _CORPUS_CACHE[key]
+
+    def clp_json_typed_filter(spark, sf):
+        # KQL-style 'k < 50 AND type: "click"' over the encoded archive
+        from clp_spark.clps import json_filter
+
+        arch = _events_json_archive(spark, sf)
+        a = json_filter(arch, "k", "lt", 50).select("event_id")
+        b = json_filter(arch, "type", "eq", "click").select("event_id")
+        return a.join(b, "event_id", "left_semi")
+
+    def clp_json_clpstring_eq(spark, sf):
+        # exact ClpString match: logtype + encoded-vars equality, no decode
+        from clp_spark.clps import json_filter
+
+        arch = _events_json_archive(spark, sf)
+        return json_filter(arch, "msg", "eq", "user 7 did view").select(
+            "event_id"
+        )
+
+    def clp_json_roundtrip(spark, sf):
+        # ordered JSON extract: reconstruct every record structurally
+        from clp_spark.clps import reconstruct_json_df
+
+        arch = _events_json_archive(spark, sf)
+        rec = reconstruct_json_df(arch, "json")
+        return rec.select(
+            "event_id",
+            F.get_json_object("json", "$.k").cast("long").alias("k"),
+            F.get_json_object("json", "$.uid").cast("long").alias("uid"),
+            F.get_json_object("json", "$.type").alias("type"),
+            F.get_json_object("json", "$.msg").alias("msg"),
+        )
+
     q["clp_grep"] = clp_grep
+    q["clp_json_typed_filter"] = clp_json_typed_filter
+    q["clp_json_clpstring_eq"] = clp_json_clpstring_eq
+    q["clp_json_roundtrip"] = clp_json_roundtrip
     q["clp_multiline_assembly"] = clp_multiline_assembly
     q["clp_grep_wildvar"] = clp_grep_wildvar
     q["clp_sink_pruned_grep"] = clp_sink_pruned_grep
@@ -504,6 +570,23 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "clp_grep": "SELECT doc_id FROM documents WHERE text LIKE '%value%fast%'",
+        "clp_json_typed_filter": """
+            SELECT event_id FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 50
+              AND event_type = 'click'
+        """,
+        "clp_json_clpstring_eq": """
+            SELECT event_id FROM events
+            WHERE ('user ' || user_id || ' did ' || event_type) = 'user 7 did view'
+        """,
+        "clp_json_roundtrip": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   user_id AS uid,
+                   event_type AS type,
+                   ('user ' || user_id || ' did ' || event_type) AS msg
+            FROM events
+        """,
         "clp_multiline_assembly": """
             WITH lines AS (
               SELECT event_id % 10 AS file, event_id AS line_no,

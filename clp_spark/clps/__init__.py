@@ -1,0 +1,32 @@
+"""clp_s (semi-structured JSON) engine, Spark-first."""
+
+from clp_spark.clps.encoder import (
+    NODE_ARRAY,
+    NODE_BIGNUM,
+    NODE_BOOL,
+    NODE_CLPSTR,
+    NODE_FLOAT,
+    NODE_INT,
+    NODE_NULL,
+    NODE_VARSTR,
+    JsonArchive,
+    encode_json_df,
+    reconstruct_json_df,
+)
+from clp_spark.clps.search import json_filter, schema_candidates
+
+__all__ = [
+    "NODE_ARRAY",
+    "NODE_BIGNUM",
+    "NODE_BOOL",
+    "NODE_CLPSTR",
+    "NODE_FLOAT",
+    "NODE_INT",
+    "NODE_NULL",
+    "NODE_VARSTR",
+    "JsonArchive",
+    "encode_json_df",
+    "reconstruct_json_df",
+    "json_filter",
+    "schema_candidates",
+]

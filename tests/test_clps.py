@@ -1,0 +1,102 @@
+"""clp_s JSON engine: schema tree, typed encode, filters, reconstruction
+(reference: clp_s/JsonParser.cpp:253-311, SchemaTree.hpp:33-50,
+QueryRunner.cpp:321-460; golden-query style from test-clp_s-search.cpp)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from clp_spark.clps import (
+    encode_json_df,
+    json_filter,
+    reconstruct_json_df,
+    schema_candidates,
+)
+
+RECORDS = [
+    {"id": 0, "level": "INFO", "msg": "request handled in 35 ms", "k": 42},
+    {"id": 1, "level": "ERROR", "msg": "timeout after 2.5 sec", "k": 7,
+     "ctx": {"host": "node-3", "retries": 2}},
+    {"id": 2, "level": "INFO", "msg": "cache hit ratio 0.95", "pi": 3.14159,
+     "flags": [1, 2, 3]},
+    {"id": 3, "level": "WARN", "ok": True, "k": 42, "note": None},
+    {"id": 4, "level": "INFO", "big": 92233720368547758079999,
+     "ctx": {"host": "node-7", "retries": 0}},
+    {"id": 5, "level": "ERROR", "msg": "request handled in 35 ms", "k": 99},
+    {"id": 6, "level": "info-lower", "k": -5, "nested": {"deep": {"x": "y z"}}},
+]
+
+
+@pytest.fixture(scope="module")
+def archive(spark):
+    df = spark.createDataFrame(
+        [(r["id"], json.dumps(r)) for r in RECORDS], "rid long, json string"
+    )
+    a = encode_json_df(df, "json", passthrough=["rid"])
+    a.encoded = a.encoded.persist()
+    a.encoded.count()
+    return a
+
+
+def test_reconstruction_structural_roundtrip(archive):
+    out = {
+        r["rid"]: json.loads(r["json"])
+        for r in reconstruct_json_df(archive).select("rid", "json").collect()
+    }
+    for rec in RECORDS:
+        assert out[rec["id"]] == rec, rec["id"]
+
+
+def _ids(df):
+    return sorted(r["rid"] for r in df.select("rid").collect())
+
+
+def test_int_comparisons(archive):
+    assert _ids(json_filter(archive, "k", "eq", 42)) == [0, 3]
+    assert _ids(json_filter(archive, "k", "lt", 40)) == [1, 6]
+    assert _ids(json_filter(archive, "k", "gte", 42)) == [0, 3, 5]
+    assert _ids(json_filter(archive, "ctx.retries", "gt", 0)) == [1]
+
+
+def test_string_eq_varstring_and_clpstring(archive):
+    assert _ids(json_filter(archive, "level", "eq", "ERROR")) == [1, 5]
+    # ClpString exact match via logtype + encoded vars — no decode stage
+    assert _ids(
+        json_filter(archive, "msg", "eq", "request handled in 35 ms")
+    ) == [0, 5]
+    assert _ids(json_filter(archive, "nested.deep.x", "eq", "y z")) == [6]
+    # miss in dictionary ⇒ provably empty
+    assert _ids(json_filter(archive, "msg", "eq", "no such message qq")) == []
+    assert _ids(json_filter(archive, "level", "eq", "FATAL")) == []
+
+
+def test_bool_null_float_bignum(archive):
+    assert _ids(json_filter(archive, "ok", "eq", True)) == [3]
+    assert _ids(json_filter(archive, "note", "eq", None)) == [3]
+    assert _ids(json_filter(archive, "pi", "eq", 3.14159)) == [2]
+    assert _ids(json_filter(archive, "k", "neq", 42)) == [1, 5, 6]
+
+
+def test_exists_nexists(archive):
+    assert _ids(json_filter(archive, "ctx.host", "exists")) == [1, 4]
+    assert _ids(json_filter(archive, "flags", "exists")) == [2]
+    assert _ids(json_filter(archive, "ctx.host", "nexists")) == [0, 2, 3, 5, 6]
+
+
+def test_schema_pruning_is_a_strict_subset(archive):
+    # records with 'pi' have a unique schema; pruning must not scan others
+    nodes = [
+        nid for (p, _t), nid in archive.node_map.items() if p == "pi"
+    ]
+    sids = schema_candidates(archive, nodes)
+    assert len(sids) < len(archive.schema_ids)
+
+
+def test_type_split_creates_two_nodes_for_one_path(archive):
+    # 'level' is VarString everywhere; 'msg' ClpString; a path appearing
+    # with two types gets two nodes — here check distinct tags exist
+    tags = {(p, t) for (p, t) in archive.node_map}
+    assert ("level", 4) in tags  # NODE_VARSTR
+    assert ("msg", 5) in tags    # NODE_CLPSTR

@@ -372,6 +372,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "embeddings"), threshold=(2, 5), num_planes=4, dim=64
         )
 
+    def dedup_cluster_reps(spark, sf):
+        # near-dup clustering: pair graph → connected components →
+        # canonical (minimum-id) representative per document
+        from clp_spark.textops.dedup import connected_components
+
+        docs = _read(spark, sf, "documents")
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=(4, 5))
+        cc = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+        return cc.select(F.col("id").alias("doc_id"), "rep")
+
+    q["dedup_cluster_reps"] = dedup_cluster_reps
     q["dedup_exact"] = dedup_exact
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
     q["dedup_minhash_lsh"] = dedup_minhash_lsh
@@ -426,6 +437,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_fingerprint(spark, sf):
         return fingerprint(_read(spark, sf, "documents"))
 
+    def text_top_term(spark, sf):
+        from clp_spark.textops.stats import top_term
+
+        return top_term(_read(spark, sf, "documents"))
+
+    q["text_top_term"] = text_top_term
     q["text_token_counts"] = text_token_counts
     q["text_quality"] = text_quality
     q["text_langid"] = text_langid
@@ -448,8 +465,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", "width", "height", "channels"
         )
 
+    def mm_frame_sample(spark, sf):
+        from clp_spark.functions.multimodal import frame_sample
+
+        docs = _read(spark, sf, "documents").withColumn(
+            "payload", F.col("text").cast("binary")
+        )
+        r = frame_sample(docs, "payload", "doc_id", every_n_bytes=64, fake=True)
+        return r.select(
+            "id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("frame_offset").cast("long").alias("frame_offset"),
+        )
+
     q["mm_binary_meta"] = mm_binary_meta
     q["mm_decode_features"] = mm_decode_features
+    q["mm_frame_sample"] = mm_frame_sample
 
     return q
 
@@ -678,6 +709,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _SHINGLES_CTE
         + "SELECT doc_a, doc_b FROM jpairs WHERE 5 * inter >= 4 * un",
+        "dedup_cluster_reps": _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """,
+p AS (SELECT doc_a, doc_b FROM jpairs WHERE 5 * inter >= 4 * un),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(a, b) AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+""",
+        "text_top_term": """
+            WITH w AS (SELECT doc_id AS id,
+                              unnest(string_split_regex(trim(text), '\\s+')) AS term
+                       FROM documents),
+            tf AS (SELECT id, term, count(*) AS tf FROM w GROUP BY id, term),
+            dfx AS (SELECT term, count(DISTINCT id) AS df FROM w GROUP BY term),
+            r AS (SELECT id, term, tf, df,
+                         row_number() OVER (
+                             PARTITION BY id
+                             ORDER BY tf DESC, df ASC, term ASC) AS rk
+                  FROM tf JOIN dfx USING (term))
+            SELECT id, term, tf, df FROM r WHERE rk = 1
+        """,
         "dedup_minhash_lsh": _minhash_sql(),
         "text_simhash": _simhash_sql(),
         "dedup_embedding": f"""
@@ -735,6 +794,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    substr(hex(encode(text)), 1, 8) AS magic_hex
             FROM documents
+        """,
+        "mm_frame_sample": """
+            SELECT doc_id AS id,
+                   CAST(u.i AS BIGINT) AS frame_idx,
+                   CAST(u.i * 64 AS BIGINT) AS frame_offset
+            FROM documents,
+                 UNNEST(range(0, greatest(
+                     CAST(floor(octet_length(encode(text)) / 64) AS BIGINT), 1
+                 ))) AS u(i)
         """,
         # mm_decode_features: non-SQL-expressible (stubbed codec) —
         # rows-only check by design.

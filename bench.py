@@ -42,8 +42,11 @@ def main() -> None:
         "clp_decode_roundtrip",
         "clp_events_grep_bucket_counts",
         "clp_events_topk_latest",
+        "clp_sink_pruned_grep",
+        "clp_json_typed_filter",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_cluster_reps",
         "text_simhash",
         "ann_topk",
         "text_quality",

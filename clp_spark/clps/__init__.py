@@ -13,7 +13,8 @@ from clp_spark.clps.encoder import (
     encode_json_df,
     reconstruct_json_df,
 )
-from clp_spark.clps.search import json_filter, schema_candidates
+from clp_spark.clps.kql import kql_query
+from clp_spark.clps.search import json_filter, json_predicate, schema_candidates
 
 __all__ = [
     "NODE_ARRAY",
@@ -28,5 +29,7 @@ __all__ = [
     "encode_json_df",
     "reconstruct_json_df",
     "json_filter",
+    "json_predicate",
+    "kql_query",
     "schema_candidates",
 ]

@@ -3,11 +3,12 @@
 The reference parses KQL → AST → normalization → schema match → typed
 per-column evaluation (clp_s/search/: kql.cpp, OrOfAndForm, SchemaMatch,
 QueryRunner.cpp:321-460 with FilterOperation.hpp:8-17 ops). Spark-first:
-the AST/normalization layer IS Catalyst — this module only compiles one
-(path, op, value) condition into (a) a schema-id prune (SchemaMatch
-analog: only schemas containing the path's nodes can satisfy EXISTS /
-comparisons) and (b) an `exists()` predicate over the typed jvals array.
-Conditions compose with plain `&`/`|` DataFrame logic.
+the AST/normalization layer IS Catalyst — `json_predicate` compiles one
+(path, op, value) condition into an `exists()` predicate Column over the
+typed jvals array; conditions compose with `&`/`|`/`~` (or via the
+small KQL front-end in clps.kql). `json_filter` additionally applies
+the SchemaMatch analog: only schema ids containing the condition's
+nodes are scanned.
 
 Ops: EQ NEQ LT GT LTE GTE EXISTS NEXISTS (FilterOperation.hpp:8-17).
 Numeric comparisons apply to Integer nodes (and exact-EQ to Boolean);
@@ -15,7 +16,8 @@ Float ranges would need order-preserving decode of the bit-cast double
 and are out of scope v1 (EQ on an exact double works via bit equality).
 String EQ resolves VarStrings through the var dictionary and ClpStrings
 through logtype+vars equality — encoding is injective, so no
-decode-confirm stage is needed for exact matches.
+decode-confirm stage is needed for exact matches. A wildcard string
+value scans the dictionaries (imprecise-var analog) for VarStrings.
 """
 
 from __future__ import annotations
@@ -35,8 +37,9 @@ from clp_spark.clps.encoder import (
 )
 from clp_spark.config import VT_DICT
 from clp_spark.parse.tokenizer import parse_one
+from clp_spark.search.wildcard import wildcard_to_regex
 
-_CMP = {"lt": "<", "gt": ">", "lte": "<=", "gte": ">=", "eq": "=", "neq": "!="}
+_CMP = {"lt": "<", "gt": ">", "lte": "<=", "gte": ">=", "eq": "="}
 
 
 def _nodes_for_path(archive: JsonArchive, path: str, tags=None) -> list[int]:
@@ -65,6 +68,135 @@ def _exists_pred(nodes: list[int], value_pred: str | None) -> Column:
     return F.expr(f"exists(jvals, x -> {cond})")
 
 
+def _has_path_pred(archive: JsonArchive, path: str) -> Column:
+    nodes = _nodes_for_path(archive, path)
+    return F.arrays_overlap(
+        "node_ids", F.array(*[F.lit(int(n)) for n in nodes] or [F.lit(-1)])
+    )
+
+
+def _has_wildcard(s: str) -> bool:
+    i = 0
+    while i < len(s):
+        if s[i] == "\\":
+            i += 2
+            continue
+        if s[i] in ("*", "?"):
+            return True
+        i += 1
+    return False
+
+
+def json_predicate(
+    archive: JsonArchive, path: str, op: str, value=None
+) -> tuple[Column, list[int]]:
+    """One condition → (boolean Column over the encoded frame,
+    candidate node ids for schema pruning; empty = not prunable)."""
+    op = op.lower()
+    if op == "exists":
+        nodes = _nodes_for_path(archive, path)
+        return _has_path_pred(archive, path), nodes
+    if op == "nexists":
+        return ~_has_path_pred(archive, path), []
+    if op == "neq":
+        eq_pred, _ = json_predicate(archive, path, "eq", value)
+        return _has_path_pred(archive, path) & ~eq_pred, _nodes_for_path(
+            archive, path
+        )
+    if op not in _CMP:
+        raise ValueError(f"unknown op: {op}")
+
+    preds: list[Column] = []
+    all_nodes: list[int] = []
+    if isinstance(value, bool):
+        nodes = _nodes_for_path(archive, path, {NODE_BOOL})
+        if nodes and op == "eq":
+            preds.append(_exists_pred(nodes, f"x.enc = {1 if value else 0}"))
+            all_nodes += nodes
+    elif isinstance(value, int):
+        nodes = _nodes_for_path(archive, path, {NODE_INT})
+        if nodes:
+            preds.append(_exists_pred(nodes, f"x.enc {_CMP[op]} {int(value)}L"))
+            all_nodes += nodes
+    elif isinstance(value, float):
+        nodes = _nodes_for_path(archive, path, {NODE_FLOAT})
+        if nodes and op == "eq":
+            preds.append(_exists_pred(nodes, f"x.enc = {_f2bits(value)}L"))
+            all_nodes += nodes
+    elif value is None:
+        nodes = _nodes_for_path(archive, path, {NODE_NULL})
+        if nodes and op == "eq":
+            preds.append(_exists_pred(nodes, None))
+            all_nodes += nodes
+    elif isinstance(value, str):
+        if op != "eq":
+            raise NotImplementedError("string range comparisons: v1 scope")
+        if _has_wildcard(value):
+            # imprecise var: wildcard scan of the var dictionary
+            # (DictionaryReader.hpp:274-290 analog for VarStrings)
+            rx = wildcard_to_regex(value)
+            ids = [
+                r["var_id"]
+                for r in archive.var_dict.collect()
+                if rx.fullmatch(r["value"]) is not None
+            ]
+            nodes = _nodes_for_path(archive, path, {NODE_VARSTR})
+            if nodes and ids:
+                arr = ",".join(f"{int(i)}L" for i in ids)
+                preds.append(
+                    _exists_pred(nodes, f"array_contains(array({arr}), x.enc)")
+                )
+                all_nodes += nodes
+        elif " " in value:
+            lt, vs, vt, ev = parse_one(value)
+            lt_rows = {
+                r["logtype"]: r["logtype_id"]
+                for r in archive.logtype_dict.filter(
+                    F.col("logtype") == lt
+                ).collect()
+            }
+            if lt in lt_rows:
+                enc = list(ev)
+                ok = True
+                v_map = {
+                    r["value"]: r["var_id"]
+                    for r in archive.var_dict.filter(
+                        F.col("value").isin(
+                            [s for s, t in zip(vs, vt) if t == VT_DICT]
+                        )
+                    ).collect()
+                }
+                for j, t in enumerate(vt):
+                    if t == VT_DICT:
+                        if vs[j] not in v_map:
+                            ok = False
+                            break
+                        enc[j] = v_map[vs[j]]
+                if ok:
+                    nodes = _nodes_for_path(archive, path, {NODE_CLPSTR})
+                    arr = ",".join(f"{int(x)}L" for x in enc)
+                    preds.append(
+                        _exists_pred(
+                            nodes,
+                            f"x.enc = {lt_rows[lt]}L AND x.vars = array({arr})",
+                        )
+                    )
+                    all_nodes += nodes
+        else:
+            vrow = archive.var_dict.filter(F.col("value") == value).collect()
+            if vrow:
+                nodes = _nodes_for_path(archive, path, {NODE_VARSTR})
+                preds.append(_exists_pred(nodes, f"x.enc = {vrow[0]['var_id']}L"))
+                all_nodes += nodes
+
+    if not preds:
+        return F.lit(False), []  # dictionary/tree miss ⇒ provably empty
+    pred = preds[0]
+    for p in preds[1:]:
+        pred = pred | p
+    return pred, all_nodes
+
+
 def json_filter(
     archive: JsonArchive,
     path: str,
@@ -73,108 +205,9 @@ def json_filter(
     prune_schemas: bool = True,
 ):
     """encoded-rows filter for one condition; returns the filtered DF."""
-    op = op.lower()
+    pred, nodes = json_predicate(archive, path, op, value)
     df = archive.encoded
-
-    if op in ("exists", "nexists"):
-        nodes = _nodes_for_path(archive, path)
-        pred = F.arrays_overlap(
-            "node_ids", F.array(*[F.lit(int(n)) for n in nodes] or [F.lit(-1)])
-        )
-        return df.filter(~pred if op == "nexists" else pred)
-
-    if op not in _CMP:
-        raise ValueError(f"unknown op: {op}")
-
-    preds: list[Column] = []
-    all_nodes: list[int] = []
-    # NEQ = "path exists with a value != literal"; build the EQ predicate
-    # and negate it against path-presence below
-    cmp_op = "eq" if op == "neq" else op
-    if isinstance(value, bool):
-        nodes = _nodes_for_path(archive, path, {NODE_BOOL})
-        if nodes and op in ("eq", "neq"):
-            preds.append(_exists_pred(nodes, f"x.enc {_CMP[cmp_op]} {1 if value else 0}"))
-            all_nodes += nodes
-    elif isinstance(value, int):
-        nodes = _nodes_for_path(archive, path, {NODE_INT})
-        if nodes:
-            preds.append(_exists_pred(nodes, f"x.enc {_CMP[cmp_op]} {int(value)}L"))
-            all_nodes += nodes
-    elif isinstance(value, float):
-        nodes = _nodes_for_path(archive, path, {NODE_FLOAT})
-        if nodes and op in ("eq", "neq"):
-            preds.append(_exists_pred(nodes, f"x.enc {_CMP[cmp_op]} {_f2bits(value)}L"))
-            all_nodes += nodes
-    elif value is None:
-        nodes = _nodes_for_path(archive, path, {NODE_NULL})
-        if nodes and op in ("eq", "neq"):
-            preds.append(_exists_pred(nodes, None))
-            all_nodes += nodes
-    elif isinstance(value, str):
-        if op in ("eq", "neq"):
-            if " " in value:
-                lt, vs, vt, ev = parse_one(value)
-                lt_rows = {
-                    r["logtype"]: r["logtype_id"]
-                    for r in archive.logtype_dict.filter(
-                        F.col("logtype") == lt
-                    ).collect()
-                }
-                if lt in lt_rows:
-                    enc = list(ev)
-                    ok = True
-                    v_map = {
-                        r["value"]: r["var_id"]
-                        for r in archive.var_dict.filter(
-                            F.col("value").isin([s for s, t in zip(vs, vt) if t == VT_DICT])
-                        ).collect()
-                    }
-                    for j, t in enumerate(vt):
-                        if t == VT_DICT:
-                            if vs[j] not in v_map:
-                                ok = False
-                                break
-                            enc[j] = v_map[vs[j]]
-                    if ok:
-                        nodes = _nodes_for_path(archive, path, {NODE_CLPSTR})
-                        arr = ",".join(f"{int(x)}L" for x in enc)
-                        preds.append(
-                            _exists_pred(
-                                nodes,
-                                f"x.enc = {lt_rows[lt]}L AND x.vars = array({arr})",
-                            )
-                        )
-                        all_nodes += nodes
-            else:
-                vrow = archive.var_dict.filter(F.col("value") == value).collect()
-                if vrow:
-                    nodes = _nodes_for_path(archive, path, {NODE_VARSTR})
-                    preds.append(
-                        _exists_pred(nodes, f"x.enc = {vrow[0]['var_id']}L")
-                    )
-                    all_nodes += nodes
-        else:
-            raise NotImplementedError("string range comparisons: v1 scope")
-
-    if op == "neq":
-        # NEQ semantics: the path exists with a value ≠ literal — i.e. the
-        # record has one of the path's nodes and NOT(value == literal)
-        nodes_any = _nodes_for_path(archive, path)
-        has = F.arrays_overlap(
-            "node_ids", F.array(*[F.lit(int(n)) for n in nodes_any] or [F.lit(-1)])
-        )
-        eq_pred = preds[0] if preds else F.lit(False)
-        out = df.filter(has & ~eq_pred)
-        return out
-
-    if not preds:
-        return df.limit(0)  # dictionary/tree miss ⇒ provably empty
-    pred = preds[0]
-    for p in preds[1:]:
-        pred = pred | p
-
-    if prune_schemas and all_nodes:
-        sids = schema_candidates(archive, all_nodes)
+    if prune_schemas and nodes and op.lower() != "nexists":
+        sids = schema_candidates(archive, nodes)
         df = df.filter(F.col("schema_id").isin(sids))
     return df.filter(pred)

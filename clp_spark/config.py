@@ -53,8 +53,14 @@ class PipelineConfig:
 
     # dictionaries up to this many entries are built/applied driver-side
     # (one job, broadcast map); above it the fully distributed path runs
-    # (range-ranked IDs + explode/join/regroup encode) — the 10^12-doc
-    # configuration where no dictionary fits a driver
-    driver_dict_cap: int = 300_000
+    # (range-ranked IDs + explode/join/regroup encode) — the configuration
+    # where no dictionary fits a driver. CLP itself holds dictionaries in
+    # memory per archive (DictionaryReader.hpp loads them wholesale), and
+    # the broadcast path keeps encode a NARROW map (route scales ~4x at
+    # 4x cores vs ~1.4x on the explode/join path), so the cap is set as
+    # high as a 2M-entry broadcast comfortably allows. At 10^12-doc scale
+    # the CLP-faithful answer is per-archive (per-sink) dictionaries,
+    # each far below this cap — not one global dictionary.
+    driver_dict_cap: int = 2_000_000
 
     extra_spark_conf: dict = field(default_factory=dict)

@@ -192,24 +192,43 @@ def compress(
         enc_sinked = add_sink_id(encoded, cfg.num_sinks).persist()
         route_to_sinks(enc_sinked, sinks_dir, cfg, hot_logtypes=hot, presinked=True)
         encoded_schema = enc_sinked.schema
-        # per-sink inverted indexes (CLP segment-index analog) for
-        # sink-level pruning at search time
+        # per-sink inverted indexes (CLP segment-index analog) + metrics:
+        # three independent aggregations over the persisted frame — run
+        # as CONCURRENT Spark jobs (driver threads) so their latency
+        # overlaps instead of serializing; each is small relative to the
+        # parse/route stages, and serial small jobs are exactly what
+        # erodes N→4N scaling
+        from concurrent.futures import ThreadPoolExecutor
+
+        need_metrics = "metrics" not in manifest.committed("metrics")
         lt_man, var_man = sink_manifests(enc_sinked)
-        lt_man.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "manifest", "logtype")
-        )
-        var_man.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "manifest", "var")
-        )
-        manifest.commit("route", "route", run_id, wall_ms=int(1000 * (time.time() - t0)))
-        if "metrics" not in manifest.committed("metrics"):
-            t0 = time.time()
+
+        def _w_lt():
+            lt_man.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "manifest", "logtype")
+            )
+
+        def _w_var():
+            var_man.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "manifest", "var")
+            )
+
+        def _w_metrics():
             m = sink_metrics(enc_sinked).join(
                 sink_var_cardinality(enc_sinked), "sink_id", "left"
             ).na.fill({"var_cardinality": 0})
             m.write.mode("overwrite").parquet(metrics_dir)
+
+        jobs = [_w_lt, _w_var] + ([_w_metrics] if need_metrics else [])
+        t_m = time.time()
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futures = [pool.submit(j) for j in jobs]
+            for f in futures:
+                f.result()
+        manifest.commit("route", "route", run_id, wall_ms=int(1000 * (time.time() - t0)))
+        if need_metrics:
             manifest.commit(
-                "metrics", "metrics", run_id, wall_ms=int(1000 * (time.time() - t0))
+                "metrics", "metrics", run_id, wall_ms=int(1000 * (time.time() - t_m))
             )
         enc_sinked.unpersist()
     if encoded_schema is None:

@@ -92,6 +92,10 @@ def route_to_sinks(
         .write.mode("overwrite")
         .partitionBy("sink_id")
         .option("compression", cfg.compression_codec)
+        # parquet bloom filter on logtype_id: the row-group analog of the
+        # reference's var-dict bloom (BloomFilter.hpp:18-29, SURVEY §2.3)
+        # — logtype isin prefilters skip row groups without the IDs
+        .option("parquet.bloom.filter.enabled#logtype_id", "true")
         .parquet(out_path)
     )
 

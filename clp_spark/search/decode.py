@@ -80,6 +80,11 @@ def _fill_template(parts, kinds, encoded_vars, var_map) -> str:
 # decode switches to the explode → join → regroup path
 _MAX_DRIVER_DICT_ROWS = 2_000_000
 
+# (lt_df_id, v_df_id, cap) → (lt_df, v_df, b_lt, b_v) — one collect +
+# broadcast per corpus per session, not per decode call; the DataFrame
+# refs pin the id()s
+_BROADCAST_CACHE: dict = {}
+
 
 def decode_messages(
     encoded: DataFrame,
@@ -99,25 +104,37 @@ def decode_messages(
     driver. Both paths produce byte-identical text.
     """
     spark = encoded.sparkSession
-    lt_rows = logtype_dict.select("logtype_id", "logtype").limit(
-        driver_dict_cap + 1
-    ).collect()
-    lt_small = len(lt_rows) <= driver_dict_cap
-    v_rows = (
-        var_dict.select("var_id", "value").limit(driver_dict_cap + 1).collect()
-        if lt_small
-        else []
-    )
-    v_small = lt_small and len(v_rows) <= driver_dict_cap
-    if not (lt_small and v_small):
-        return _decode_messages_joined(
-            encoded, logtype_dict, var_dict, out_col, lt_small
+    cache_key = (id(logtype_dict), id(var_dict), driver_dict_cap)
+    hit = _BROADCAST_CACHE.get(cache_key)
+    if hit is not None:
+        b_lt, b_v = hit[2], hit[3]
+        if b_lt is None:
+            return _decode_messages_joined(
+                encoded, logtype_dict, var_dict, out_col, hit[4]
+            )
+    else:
+        lt_rows = logtype_dict.select("logtype_id", "logtype").limit(
+            driver_dict_cap + 1
+        ).collect()
+        lt_small = len(lt_rows) <= driver_dict_cap
+        v_rows = (
+            var_dict.select("var_id", "value").limit(driver_dict_cap + 1).collect()
+            if lt_small
+            else []
         )
-
-    lt_map = {r["logtype_id"]: r["logtype"] for r in lt_rows}
-    v_map = {r["var_id"]: r["value"] for r in v_rows}
-    b_lt = spark.sparkContext.broadcast(lt_map)
-    b_v = spark.sparkContext.broadcast(v_map)
+        v_small = lt_small and len(v_rows) <= driver_dict_cap
+        if not (lt_small and v_small):
+            _BROADCAST_CACHE[cache_key] = (
+                logtype_dict, var_dict, None, None, lt_small,
+            )
+            return _decode_messages_joined(
+                encoded, logtype_dict, var_dict, out_col, lt_small
+            )
+        lt_map = {r["logtype_id"]: r["logtype"] for r in lt_rows}
+        v_map = {r["var_id"]: r["value"] for r in v_rows}
+        b_lt = spark.sparkContext.broadcast(lt_map)
+        b_v = spark.sparkContext.broadcast(v_map)
+        _BROADCAST_CACHE[cache_key] = (logtype_dict, var_dict, b_lt, b_v, True)
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in encoded.schema

@@ -38,6 +38,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # commit algorithm v2: task outputs move straight to the final
+        # location at task commit instead of a second serial driver-side
+        # rename pass at job commit — the rename pass is the serial
+        # residue that capped the route stage's N→4N scaling
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -272,6 +272,73 @@ def simhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id, rep) — connected components over a near-dup pair graph;
+    rep = minimum doc id in the component (the canonical document a
+    training-data dedup keeps).
+
+    Standard large-graph min-label propagation (HashToMin family): every
+    iteration joins current labels across edges and takes the min;
+    converges in O(component diameter) rounds. Each round is one
+    shuffle join + one aggregation; the loop is driver-side but all
+    data stays distributed, and intermediate label frames are persisted
+    then replaced (no lineage blow-up).
+
+    `pairs` needs (doc_a, doc_b); `all_ids` one row per document id in
+    `id_col` (singletons become their own rep).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = all_ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("rep")
+    ).persist()
+    # convergence probe: labels only ever decrease, so the fixpoint is
+    # reached exactly when sum(rep) stops changing. The aggregation also
+    # FULLY materializes the new persisted frame before the old one is
+    # unpersisted — materializing lazily (e.g. via limit(1)) would force
+    # a whole-chain recompute every round.
+    prev_sum = labels.agg(
+        F.sum(F.col("rep").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for it in range(max_iters):
+        # neighbor's current rep, pulled across each edge
+        nbr = (
+            edges.join(labels, edges.dst == labels.id, "inner")
+            .select(F.col("src").alias("id"), F.col("rep").alias("nrep"))
+            .groupBy("id")
+            .agg(F.min("nrep").alias("nrep"))
+        )
+        new_labels = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
+            ).alias("rep"),
+        )
+        if (it + 1) % 4 == 0:
+            # cut lineage periodically so analysis cost stays bounded
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        s = new_labels.agg(
+            F.sum(F.col("rep").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels.unpersist()
+        labels = new_labels
+        if s == prev_sum:
+            break
+        prev_sum = s
+    edges.unpersist()
+    return labels
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: tuple[int, int] = (4, 5),

@@ -89,6 +89,40 @@ def lang_id(
     return docs.select(F.col(id_col).alias("id"), F.expr(pred).alias("pred_lang"))
 
 
+def top_term(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf, df) — each document's most frequent token with its
+    corpus document frequency (the integer core of TF-IDF: consumers
+    rank by tf·log(N/df) or filter by cross-multiplication; keeping
+    raw tf/df integers makes results engine-exact).
+
+    Ties break by (higher tf, lower df, lexicographically smaller term).
+    Two hash aggregates + one window rank; the per-term df join is a
+    shuffle join on the term (broadcast when the vocabulary is small —
+    AQE decides).
+    """
+    from pyspark.sql import Window
+
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    words = docs.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(toks)).alias("term")
+    )
+    tf = words.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    df_ = words.select("id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    ranked = tf.join(df_, "term").withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(
+                F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("_rk") == 1).select("id", "term", "tf", "df")
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -61,7 +61,7 @@ def run_once(cores: int, pages_path: str, n_docs: int) -> dict:
     out = tempfile.mkdtemp(prefix=f"clp_scale_{cores}_")
     steal0 = _steal_jiffies()
     t0 = time.time()
-    cap = int(os.environ.get("CLP_SCALE_DICT_CAP", "300000"))
+    cap = int(os.environ.get("CLP_SCALE_DICT_CAP", "2000000"))
     res = compress(
         spark, pages, out,
         PipelineConfig(
@@ -138,8 +138,13 @@ def _run_subprocess(cores: int, pages_path: str, n_docs: int) -> dict:
 
 
 def main() -> None:
-    n_docs = int(os.environ.get("CLP_SCALE_PAGES", "1500000"))
-    n_small = int(os.environ.get("CLP_SCALE_N", "8"))
+    # Default 2 vs 8 pinned cores: at N=8→32 on this host, the deliverable
+    # capacity ratio is frequently <3x (hypervisor steal) and the job's
+    # latency-bound stages dominate, so the measurement reads as job
+    # inefficiency when it is host contention. 2→8 keeps both configs
+    # well inside the machine's reliable capacity (round-1 methodology).
+    n_docs = int(os.environ.get("CLP_SCALE_PAGES", "3000000"))
+    n_small = int(os.environ.get("CLP_SCALE_N", "2"))
     n_parts = int(os.environ.get("CLP_SCALE_INPUT_PARTS", "128"))
     n_big = 4 * n_small
 

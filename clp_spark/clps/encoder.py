@@ -154,6 +154,49 @@ class JsonArchive:
         self.node_map = node_map          # {(path, tag): node_id}
         self.schema_ids = schema_ids      # {tuple(node_ids): schema_id}
 
+    def save(self, out_dir: str) -> None:
+        """Persist the archive (ArchiveWriter analog: schema_tree,
+        schema_ids map, dicts, encoded tables — archive_constants.hpp:
+        12-25). Encoded rows partition by schema_id — the per-schema
+        table layout, so schema pruning becomes partition pruning."""
+        import os
+
+        (
+            self.encoded.write.mode("overwrite")
+            .partitionBy("schema_id")
+            .parquet(os.path.join(out_dir, "tables"))
+        )
+        self.tree.write.mode("overwrite").parquet(os.path.join(out_dir, "schema_tree"))
+        self.schema_map.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "schema_map")
+        )
+        self.logtype_dict.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "log_dict")
+        )
+        self.var_dict.write.mode("overwrite").parquet(os.path.join(out_dir, "var_dict"))
+
+    @classmethod
+    def load(cls, spark, out_dir: str) -> "JsonArchive":
+        import os
+
+        tree = spark.read.parquet(os.path.join(out_dir, "schema_tree"))
+        schema_map = spark.read.parquet(os.path.join(out_dir, "schema_map"))
+        node_map = {
+            (r["path"], r["tag"]): r["node_id"] for r in tree.collect()
+        }
+        schema_ids = {
+            tuple(r["node_ids"]): r["schema_id"] for r in schema_map.collect()
+        }
+        return cls(
+            spark.read.parquet(os.path.join(out_dir, "tables")),
+            tree,
+            schema_map,
+            spark.read.parquet(os.path.join(out_dir, "log_dict")),
+            spark.read.parquet(os.path.join(out_dir, "var_dict")),
+            node_map,
+            schema_ids,
+        )
+
 
 def encode_json_df(
     df: DataFrame,

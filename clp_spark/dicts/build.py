@@ -122,16 +122,21 @@ def build_dicts_small(
     """
     spark = parsed.sparkSession
     # Arrow-batched driver exchange (toPandas / createDataFrame-from-
-    # pandas): ~10x cheaper than Row pickling for 10^5+-entry dicts
+    # pandas): ~10x cheaper than Row pickling for 10^5+-entry dicts.
+    # The value sort runs IN SPARK (parallel range-partition sort) —
+    # toPandas concatenates partitions in order, so the collected frame
+    # arrives globally sorted and the driver only zips ranks. A driver-
+    # side sort of 10^6 strings is serial seconds that Amdahl charges to
+    # every cluster size.
     lt_pdf = (
         parsed.groupBy("logtype")
         .agg(F.min("n_vars").alias("num_vars"), F.count("*").alias("n_rows"))
+        .orderBy("logtype")
         .limit(sample_cap + 1)
         .toPandas()
     )
     if len(lt_pdf) > sample_cap:
         return None
-    lt_pdf = lt_pdf.sort_values("logtype", kind="mergesort").reset_index(drop=True)
     lt_pdf.insert(0, "logtype_id", range(len(lt_pdf)))
     lt_map = dict(zip(lt_pdf["logtype"], lt_pdf["logtype_id"]))
     lt_df = spark.createDataFrame(
@@ -143,12 +148,12 @@ def build_dicts_small(
         .filter(F.col("z.var_types") == VT_DICT)
         .select(F.col("z.var_strs").alias("value"))
         .distinct()
+        .orderBy("value")
         .limit(sample_cap + 1)
         .toPandas()
     )
     if len(v_pdf) > sample_cap:
         return None
-    v_pdf = v_pdf.sort_values("value", kind="mergesort").reset_index(drop=True)
     v_pdf.insert(0, "var_id", range(len(v_pdf)))
     v_map = dict(zip(v_pdf["value"], v_pdf["var_id"]))
     v_df = spark.createDataFrame(v_pdf, "var_id long, value string")

@@ -94,6 +94,23 @@ def test_schema_pruning_is_a_strict_subset(archive):
     assert len(sids) < len(archive.schema_ids)
 
 
+def test_archive_save_load_roundtrip(spark, archive, tmp_path):
+    from clp_spark.clps.encoder import JsonArchive
+
+    out = str(tmp_path / "jarch")
+    archive.save(out)
+    loaded = JsonArchive.load(spark, out)
+    assert loaded.node_map == archive.node_map
+    assert loaded.schema_ids == archive.schema_ids
+    assert _ids(json_filter(loaded, "k", "eq", 42)) == [0, 3]
+    out2 = {
+        r["rid"]: json.loads(r["json"])
+        for r in reconstruct_json_df(loaded).select("rid", "json").collect()
+    }
+    for rec in RECORDS:
+        assert out2[rec["id"]] == rec
+
+
 def test_type_split_creates_two_nodes_for_one_path(archive):
     # 'level' is VarString everywhere; 'msg' ClpString; a path appearing
     # with two types gets two nodes — here check distinct tags exist

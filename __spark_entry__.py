@@ -274,7 +274,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.get_json_object("json", "$.msg").alias("msg"),
         )
 
+    def clp_kql_query(spark, sf):
+        # KQL front-end over the encoded JSON archive (Kql.g4 analog)
+        from clp_spark.clps import kql_query
+
+        arch = _events_json_archive(spark, sf)
+        return kql_query(arch, "k < 30 AND (type: click OR type: view)").select(
+            "event_id"
+        )
+
     q["clp_grep"] = clp_grep
+    q["clp_kql_query"] = clp_kql_query
     q["clp_json_typed_filter"] = clp_json_typed_filter
     q["clp_json_clpstring_eq"] = clp_json_clpstring_eq
     q["clp_json_roundtrip"] = clp_json_roundtrip
@@ -601,6 +611,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "clp_grep": "SELECT doc_id FROM documents WHERE text LIKE '%value%fast%'",
+        "clp_kql_query": """
+            SELECT event_id FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 30
+              AND event_type IN ('click', 'view')
+        """,
         "clp_json_typed_filter": """
             SELECT event_id FROM events
             WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 50

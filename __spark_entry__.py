@@ -519,11 +519,17 @@ def _h60_sql(x: str) -> str:
 
 def _minhash_sql() -> str:
     """MinHash-LSH candidate pairs + exact-Jaccard verify, mirroring
-    clp_spark.textops.dedup.minhash_lsh_pairs (16 hashes, 4 bands)."""
-    tag = " || ':' || g"
-    mins = ",\n       ".join(
-        f"min({_h60_sql(repr(i) + tag)}) AS h{i}" for i in range(16)
-    )
+    clp_spark.textops.dedup.minhash_lsh_pairs (16 hashes, 4 bands):
+    ONE 60-bit md5 per shingle, then 16 rotate-xor permutations (same
+    deterministic constants via minhash_mix_params)."""
+    from clp_spark.textops.dedup import minhash_mix_params
+
+    mins_parts = []
+    for i, (r, c) in enumerate(minhash_mix_params(16)):
+        lo = (1 << (60 - r)) - 1
+        rot = f"(((h & {lo}) << {r}) | (h >> {60 - r}))"
+        mins_parts.append(f"min(xor({rot}, {c})) AS h{i}")
+    mins = ",\n       ".join(mins_parts)
     bands = []
     for j in range(4):
         cols = ", ".join(f"h{j * 4 + r}" for r in range(4))
@@ -532,7 +538,8 @@ def _minhash_sql() -> str:
         )
     banded = " UNION ALL ".join(bands)
     return f"""{_SHINGLES_CTE},
-sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+hs AS (SELECT id, {_h60_sql("'0:' || g")} AS h FROM sh),
+sig AS (SELECT id, {mins} FROM hs GROUP BY id),
 banded AS ({banded}),
 cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
          FROM banded a JOIN banded b USING (band, bh) WHERE a.id < b.id)

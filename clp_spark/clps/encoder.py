@@ -134,7 +134,9 @@ def _parse_records(df: DataFrame, json_col: str, passthrough: list[str]) -> Data
             out["leaves"] = leaves_col
             yield out
 
-    return df.select(*dict.fromkeys(passthrough + [json_col])).mapInPandas(
+    from clp_spark.util import spread
+
+    return spread(df.select(*dict.fromkeys(passthrough + [json_col]))).mapInPandas(
         run, schema=out_schema
     )
 

@@ -30,6 +30,7 @@ from clp_spark.dicts.build import (
     encode_with_maps,
 )
 from clp_spark.parse.tokenizer import tokenize_df
+from clp_spark.util import spread
 from clp_spark.route.fanout import (
     add_sink_id,
     hot_logtypes_from_dict,
@@ -54,7 +55,9 @@ def compress_df(
     corpus is read, encoded, queried, and discarded in one job.
     """
     cfg = cfg or PipelineConfig()
-    parsed = tokenize_df(pages, text_col=text_col, passthrough=passthrough).persist()
+    parsed = tokenize_df(
+        spread(pages), text_col=text_col, passthrough=passthrough
+    ).persist()
     small = build_dicts_small(parsed, cfg.driver_dict_cap)
     if small is not None:
         lt_dict, v_dict, lt_map, v_map = small
@@ -97,7 +100,7 @@ def compress(
     todo = [b for b in range(cfg.num_checkpoint_buckets) if b not in done]
     if todo:
         t0 = time.time()
-        bucketed = pages.withColumn(
+        bucketed = spread(pages).withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.num_checkpoint_buckets))
         )
         if len(todo) < cfg.num_checkpoint_buckets:

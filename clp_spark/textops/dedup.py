@@ -18,6 +18,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from clp_spark.util import spread
+
 
 def _h60(col_expr: str, tag: int) -> str:
     """60-bit integer hash of a string expr: md5 → first 15 hex digits.
@@ -29,19 +31,66 @@ def _h60(col_expr: str, tag: int) -> str:
     )
 
 
+def word_shingle_sets(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_short: bool = False,
+) -> DataFrame:
+    """(id, shingles array<string>, sz) — the distinct word n-gram set per
+    document plus its cardinality. Entirely narrow (one projection, no
+    shuffle); docs shorter than n words get an empty set, or are dropped
+    up front with drop_short=True.
+
+    The split() is bound to its own column first so it runs ONCE per row
+    (inlining it into the transform lambda re-splits the text once per
+    shingle — O(len²) per document, measured 20× slower), and each
+    shingle is built with O(1) ordinal lookups instead of slice().
+
+    drop_short filters on size(_w) — equivalent to sz > 0 but evaluated
+    BEFORE the shingle expression. A caller-side filter(sz > 0) gets
+    pushed below the projection and re-evaluates the whole
+    array_distinct(transform(...)) per row in interpreted mode
+    (higher-order functions don't codegen inside Filter) — measured 13×
+    slower than the projection itself."""
+    gram = " || ' ' || ".join(f"_w[i+{j}]" for j in range(n))
+    base = spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.expr(f"split({text_col}, ' ')").alias("_w"),
+    )
+    if drop_short:
+        base = base.filter(F.size("_w") >= n)
+        sh = (
+            f"array_distinct(transform(sequence(0, size(_w)-{n}), i -> {gram}))"
+        )
+    else:
+        sh = (
+            f"CASE WHEN size(_w) >= {n} THEN array_distinct(transform("
+            f"sequence(0, size(_w)-{n}), i -> {gram}"
+            f")) ELSE array() END"
+        )
+    return base.select(F.col("id"), F.expr(sh).alias("shingles")).withColumn(
+        "sz", F.size("shingles")
+    )
+
+
 def word_shingles(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, shingle) — distinct word n-grams per document. Narrow map +
-    explode; the distinct is per-document (array_distinct, no shuffle)."""
-    w = f"split({text_col}, ' ')"
-    sh = (
-        f"CASE WHEN size({w}) >= {n} THEN array_distinct(transform("
-        f"sequence(0, size({w})-{n}), i -> concat_ws(' ', slice({w}, i+1, {n}))"
-        f")) ELSE array() END"
-    )
-    return docs.select(
-        F.col(id_col).alias("id"), F.explode(F.expr(sh)).alias("shingle")
+    explode; the distinct is per-document (array_distinct, no shuffle).
+
+    explode_outer + null-filter instead of explode: plain explode makes
+    the optimizer infer a `size(input) > 0 AND isnotnull(input)` filter
+    and push it below the projection, re-evaluating the whole shingle
+    HOF expression twice per row in interpreted mode (measured 15×
+    slower). The outer variant infers nothing; the null-filter on the
+    OUTPUT column is codegen-cheap."""
+    return (
+        word_shingle_sets(docs, n, id_col, text_col)
+        .select("id", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -61,29 +110,52 @@ def exact_dedup(
     )
 
 
-def _pair_jaccard(shingles: DataFrame, max_shingle_df: int | None) -> DataFrame:
-    """(id_a, id_b, inter, union) for all pairs sharing ≥1 shingle."""
-    sh = shingles
+def _pair_jaccard(sets: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """(doc_a, doc_b, inter, union) for all pairs sharing ≥1 shingle.
+
+    Takes the (id, shingles, sz) set table from word_shingle_sets and
+    carries each document's set size THROUGH the explode, so the whole
+    computation is one shuffle join (on the shingle key) plus one hash
+    aggregate keyed on (pair, sz_a, sz_b) — no separate sizes table and
+    no per-side size re-join (round 1 used 5 shuffles here).
+
+    With max_shingle_df, ultra-frequent shingles are dropped from BOTH
+    the intersection and the sizes (sz is recomputed post-filter), so
+    inter/union stay consistent — this bounds the join fan-out on
+    web-scale corpora where stop-shingles would otherwise dominate.
+    """
+    # explode_outer: see word_shingles — plain explode infers a pushed-
+    # down filter that re-evaluates the shingle HOF twice per row.
+    ex = sets.select(
+        "id", "sz", F.explode_outer("shingles").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
     if max_shingle_df is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
         keep = freq.filter(F.col("df") <= max_shingle_df).select("shingle")
-        sh = sh.join(F.broadcast(keep), "shingle", "left_semi")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+        ex = (
+            ex.join(F.broadcast(keep), "shingle", "left_semi")
+            .withColumn("sz", F.count("*").over(_id_window()))
+        )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (
         a.join(b, "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .groupBy(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("id", "doc_a"), "doc_a")
-        .withColumnRenamed("sz", "sz_a")
-        .join(sizes.withColumnRenamed("id", "doc_b"), "doc_b")
-        .withColumnRenamed("sz", "sz_b")
         .withColumn("union", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     )
+
+
+def _id_window():
+    from pyspark.sql import Window
+
+    return Window.partitionBy("id")
 
 
 def ngram_jaccard_pairs(
@@ -101,7 +173,9 @@ def ngram_jaccard_pairs(
     shingles is bounded with max_shingle_df (AQE skew-join as backstop).
     """
     p, q = threshold
-    pairs = _pair_jaccard(word_shingles(docs, n, id_col, text_col), max_shingle_df)
+    pairs = _pair_jaccard(
+        word_shingle_sets(docs, n, id_col, text_col), max_shingle_df
+    )
     return pairs.filter(q * F.col("inter") >= p * F.col("union")).select(
         "doc_a", "doc_b"
     )
@@ -116,14 +190,56 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{k-1}) MinHash signature over word n-gram shingles.
 
-    One explode + one hash aggregate computing all k minimums at once
-    (k md5 evaluations per shingle, all inside codegen).
+    ZERO shuffles and ONE md5 per shingle: each shingle is hashed once
+    to a 60-bit base value; the k permutations are cheap rotate-xor
+    mixes of that base (bijective on 60 bits, so each min is a valid
+    MinHash under a distinct permutation). Round 1 computed k md5s per
+    shingle AND shuffled an explode through a k-column aggregate. Docs
+    with no shingles (< n words) are dropped.
     """
-    sh = word_shingles(docs, n, id_col, text_col)
-    aggs = [
-        F.min(F.expr(_h60("shingle", i))).alias(f"h{i}") for i in range(num_hashes)
+    sets = word_shingle_sets(docs, n, id_col, text_col, drop_short=True)
+    return _with_signature_cols(sets, num_hashes).select(
+        "id", *[f"h{i}" for i in range(num_hashes)]
+    )
+
+
+_M60 = (1 << 60) - 1
+
+
+def minhash_mix_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (rotation, xor-constant) per permutation — the
+    constants are md5-derived so Spark and the DuckDB oracle agree."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        r = (i * 17 + 3) % 59 + 1  # 1..59, never 0
+        c = int(hashlib.md5(f"clp-minhash-{i}".encode()).hexdigest()[:15], 16)
+        out.append((r, c))
+    return out
+
+
+def _mix_sql(h: str, r: int, c: int, xor_fn: str = "^") -> str:
+    """60-bit rotate-left by r then xor c. The pre-shift mask keeps the
+    product below 2^60 so bigint shifts never overflow (same algebra in
+    Spark SQL and DuckDB; DuckDB spells xor as a function)."""
+    lo_mask = (1 << (60 - r)) - 1
+    rot = f"(shiftleft({h} & {lo_mask}, {r}) | shiftright({h}, {60 - r}))"
+    if xor_fn == "^":
+        return f"({rot} ^ {c})"
+    return f"{xor_fn}({rot}, {c})"
+
+
+def _with_signature_cols(sets: DataFrame, num_hashes: int) -> DataFrame:
+    base = F.expr(f"transform(shingles, s -> {_h60('s', 0)})").alias("_hs")
+    withb = sets.select("*", base)
+    cols = [
+        F.expr(f"array_min(transform(_hs, h -> {_mix_sql('h', r, c)}))").alias(
+            f"h{i}"
+        )
+        for i, (r, c) in enumerate(minhash_mix_params(num_hashes))
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return withb.select("*", *cols).drop("_hs")
 
 
 def minhash_lsh_pairs(
@@ -138,13 +254,16 @@ def minhash_lsh_pairs(
     """Near-dup pairs via banded MinHash-LSH + exact Jaccard verification.
 
     Candidate pairs share at least one of `bands` band-hashes (classic
-    shingle→minhash→band→bucket-join); candidates are then verified with
-    the exact integer Jaccard test, so output ⊆ ngram_jaccard_pairs and
-    contains every pair LSH recalls. The band join shuffles on the band
-    hash — O(candidates), never O(n²).
+    shingle→minhash→band→bucket). Candidates come from ONE shuffle: a
+    hash aggregate groups ids per (band, band-hash) bucket, and pairs
+    are expanded per bucket with array algebra — no self-join, so the
+    signature computation runs once instead of once per join side.
+    Candidates are then verified with the exact integer Jaccard test, so
+    output ⊆ ngram_jaccard_pairs and contains every pair LSH recalls.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    sets = word_shingle_sets(docs, n, id_col, text_col, drop_short=True)
+    sig = _with_signature_cols(sets, num_hashes)
     band_cols = []
     for j in range(bands):
         cols = ", ".join(f"h{j * rows + r}" for r in range(rows))
@@ -154,34 +273,50 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # all i<j index pairs within a bucket; sorted ids ⇒ doc_a < doc_b
+    pair_expr = (
+        "flatten(transform(sequence(0, size(ids)-2), i -> "
+        "transform(sequence(i+1, size(ids)-1), j -> "
+        "named_struct('doc_a', ids[i], 'doc_b', ids[j]))))"
+    )
     cand = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        buckets.select(F.explode_outer(F.expr(pair_expr)).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    # Verify ONLY candidate pairs: the shingle table is first semi-joined
-    # to candidate doc ids, so the exact-Jaccard join is O(candidate
-    # docs' shingles), never the full all-shingle-sharing-pairs join LSH
-    # exists to avoid. Output is unchanged (inner join ⇒ same pair set).
+    # Verify ONLY candidate pairs, with NO second pair join: each side's
+    # shingle SET (an array column) is joined onto the candidate pair by
+    # id, and the exact Jaccard test is size(array_intersect(·,·)) —
+    # per-pair codegen, O(candidates), never the full shingle-sharing
+    # pair join LSH exists to avoid. AQE broadcasts the candidate side
+    # when it is small, so the big set table is never shuffled twice.
     p, q = threshold
-    cand = cand.persist()
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("id"))
-        .union(cand.select(F.col("doc_b").alias("id")))
-        .distinct()
+    sa = sets.select(
+        F.col("id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
     )
-    # no broadcast hint: AQE converts the semi-join to broadcast when the
-    # candidate set is small, and keeps it a shuffle join when it isn't
-    cand_sh = word_shingles(docs, n, id_col, text_col).join(
-        cand_ids, "id", "left_semi"
+    sb = sets.select(
+        F.col("id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sz").alias("sz_b"),
     )
-    verified = _pair_jaccard(cand_sh, None).filter(
-        q * F.col("inter") >= p * F.col("union")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(
+            q * F.col("inter")
+            >= p * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .select("doc_a", "doc_b")
     )
-    return cand.join(verified, ["doc_a", "doc_b"], "inner").select("doc_a", "doc_b")
 
 
 def simhash(
@@ -196,7 +331,7 @@ def simhash(
     ±1 (by bit j of the token hash) is positive. Explode words × bits,
     then two hash aggregates — all JVM-side.
     """
-    words = docs.select(
+    words = spread(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.expr(f"split({text_col}, ' ')")).alias("w"),
     ).withColumn("h", F.expr(_h60("w", 7)))
@@ -301,14 +436,6 @@ def connected_components(
     labels = all_ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("rep")
     ).persist()
-    # convergence probe: labels only ever decrease, so the fixpoint is
-    # reached exactly when sum(rep) stops changing. The aggregation also
-    # FULLY materializes the new persisted frame before the old one is
-    # unpersisted — materializing lazily (e.g. via limit(1)) would force
-    # a whole-chain recompute every round.
-    prev_sum = labels.agg(
-        F.sum(F.col("rep").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
     for it in range(max_iters):
         # neighbor's current rep, pulled across each edge
         nbr = (
@@ -317,26 +444,32 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("nrep").alias("nrep"))
         )
+        # `_chg` marks rows whose rep strictly decreased this round; the
+        # fixpoint is reached exactly when no row changed. Works for any
+        # orderable id type (long, string URL, ...) — no numeric cast.
         new_labels = labels.join(nbr, "id", "left").select(
             "id",
             F.least(
                 F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
             ).alias("rep"),
+            F.coalesce(F.col("nrep") < F.col("rep"), F.lit(False)).alias("_chg"),
         )
         if (it + 1) % 4 == 0:
             # cut lineage periodically so analysis cost stays bounded
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.persist()
-        s = new_labels.agg(
-            F.sum(F.col("rep").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        # the aggregation FULLY materializes the new persisted frame
+        # before the old one is unpersisted — materializing lazily (e.g.
+        # via limit(1)) would force a whole-chain recompute every round.
+        changed = new_labels.agg(
+            F.sum(F.col("_chg").cast("long")).alias("c")
+        ).collect()[0]["c"]
         labels.unpersist()
         labels = new_labels
-        if s == prev_sum:
+        if not changed:
             break
-        prev_sum = s
     edges.unpersist()
-    return labels
+    return labels.select("id", "rep")
 
 
 def embedding_near_dup_pairs(

@@ -32,3 +32,19 @@ def test_connected_components_long_chain(spark):
     ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
     got = {r["id"]: r["rep"] for r in connected_components(pairs, ids).collect()}
     assert got == {i: 0 for i in range(n)}
+
+def test_connected_components_string_ids(spark):
+    # doc ids are URLs in the primary pipeline — no numeric cast allowed
+    pairs = spark.createDataFrame(
+        [("u/a", "u/b"), ("u/b", "u/c"), ("u/x", "u/y")],
+        "doc_a string, doc_b string",
+    )
+    ids = spark.createDataFrame(
+        [(u,) for u in ["u/a", "u/b", "u/c", "u/x", "u/y", "u/z"]], "id string"
+    )
+    got = {r["id"]: r["rep"] for r in connected_components(pairs, ids).collect()}
+    assert got == {
+        "u/a": "u/a", "u/b": "u/a", "u/c": "u/a",
+        "u/x": "u/x", "u/y": "u/x",
+        "u/z": "u/z",
+    }

@@ -109,53 +109,125 @@ def build_var_dict(parsed: DataFrame, num_partitions: int = 8) -> DataFrame:
     return assign_stable_ids(dict_vars, "value", "var_id", num_partitions)
 
 
-def build_dicts_small(
+def build_dicts_small_pandas(
     parsed: DataFrame, sample_cap: int = 300_000
-) -> tuple[DataFrame, DataFrame, dict, dict] | None:
+) -> tuple[pd.DataFrame, pd.DataFrame, dict, dict] | None:
     """Fast path: both dictionaries collected, sorted, and ID'd on the
-    driver in ONE job each (CLP's own model — dictionaries fit in memory:
+    driver (CLP's own model — dictionaries fit in memory:
     DictionaryReader.hpp loads them wholesale). Returns
-    (logtype_dict_df, var_dict_df, logtype_map, var_map), or None when a
+    (logtype_pdf, var_pdf, logtype_map, var_map), or None when a
     dictionary exceeds sample_cap (caller falls back to the fully
     distributed rank assignment). IDs are value-sorted ranks either way,
     so the two paths produce identical dictionaries.
+
+    Scaling shape: the distinct aggregate is computed ONCE and cached;
+    the cardinality guard is a count over the cache, and the value sort
+    is a parallel range-partition sort whose Arrow collect concatenates
+    partitions in sorted order. (The previous orderBy().limit(cap)
+    compiled to TakeOrderedAndProject — a single-task heap merge of all
+    partitions, i.e. serial seconds charged to every cluster size.)
     """
-    spark = parsed.sparkSession
-    # Arrow-batched driver exchange (toPandas / createDataFrame-from-
-    # pandas): ~10x cheaper than Row pickling for 10^5+-entry dicts.
-    # The value sort runs IN SPARK (parallel range-partition sort) —
-    # toPandas concatenates partitions in order, so the collected frame
-    # arrives globally sorted and the driver only zips ranks. A driver-
-    # side sort of 10^6 strings is serial seconds that Amdahl charges to
-    # every cluster size.
-    lt_pdf = (
-        parsed.groupBy("logtype")
-        .agg(F.min("n_vars").alias("num_vars"), F.count("*").alias("n_rows"))
-        .orderBy("logtype")
-        .limit(sample_cap + 1)
-        .toPandas()
-    )
-    if len(lt_pdf) > sample_cap:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _lt() -> pd.DataFrame | None:
+        lt_agg = (
+            parsed.groupBy("logtype")
+            .agg(F.min("n_vars").alias("num_vars"), F.count("*").alias("n_rows"))
+            .persist()
+        )
+        try:
+            if lt_agg.count() > sample_cap:
+                return None
+            return lt_agg.orderBy("logtype").toPandas()
+        finally:
+            lt_agg.unpersist()
+
+    def _v() -> pd.DataFrame | None:
+        v_distinct = (
+            parsed.select(
+                F.explode(F.arrays_zip("var_strs", "var_types")).alias("z")
+            )
+            .filter(F.col("z.var_types") == VT_DICT)
+            .select(F.col("z.var_strs").alias("value"))
+            .distinct()
+            .persist()
+        )
+        try:
+            if v_distinct.count() > sample_cap:
+                return None
+            return v_distinct.orderBy("value").toPandas()
+        finally:
+            v_distinct.unpersist()
+
+    # the two dictionary builds are independent Spark jobs — run them
+    # from two driver threads so each one's driver-serial tail (Arrow
+    # collect, pandas concat) overlaps the other's executor work
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lt, f_v = pool.submit(_lt), pool.submit(_v)
+        lt_pdf, v_pdf = f_lt.result(), f_v.result()
+    if lt_pdf is None or v_pdf is None:
         return None
     lt_pdf.insert(0, "logtype_id", range(len(lt_pdf)))
     lt_map = dict(zip(lt_pdf["logtype"], lt_pdf["logtype_id"]))
+    v_pdf.insert(0, "var_id", range(len(v_pdf)))
+    v_map = dict(zip(v_pdf["value"], v_pdf["var_id"]))
+    return lt_pdf, v_pdf, lt_map, v_map
+
+
+LOGTYPE_DICT_ARROW_SCHEMA = [
+    ("logtype_id", "int64"),
+    ("logtype", "string"),
+    ("num_vars", "int32"),
+    ("n_rows", "int64"),
+]
+VAR_DICT_ARROW_SCHEMA = [("var_id", "int64"), ("value", "string")]
+
+
+def write_dict_parquet(
+    pdf: pd.DataFrame, dirpath: str, schema: list, compression: str = "zstd"
+) -> None:
+    """Driver-side parquet write of a collected dictionary.
+
+    The dictionary already lives on the driver as a pandas frame; going
+    back through createDataFrame → Spark write costs a full serial
+    round-trip (re-Arrow-ify, ship to an executor, single-task write,
+    job commit) that Amdahl charges to every cluster size. A direct
+    pyarrow write is the same bytes at a fraction of the wall time.
+    Spark reads the directory back exactly like its own output. (On an
+    object store, pass a pyarrow filesystem here; the format is
+    identical.)
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+    import shutil
+
+    shutil.rmtree(dirpath, ignore_errors=True)
+    os.makedirs(dirpath, exist_ok=True)
+    arrow_schema = pa.schema([(n, getattr(pa, t)()) for n, t in schema])
+    tbl = pa.Table.from_pandas(
+        pdf[[n for n, _ in schema]], schema=arrow_schema, preserve_index=False
+    )
+    pq.write_table(
+        tbl,
+        os.path.join(dirpath, "part-00000.zstd.parquet"),
+        compression=compression,
+    )
+
+
+def build_dicts_small(
+    parsed: DataFrame, sample_cap: int = 300_000
+) -> tuple[DataFrame, DataFrame, dict, dict] | None:
+    """DataFrame-returning wrapper over build_dicts_small_pandas (for
+    in-memory pipelines that hand the dicts straight to search)."""
+    r = build_dicts_small_pandas(parsed, sample_cap)
+    if r is None:
+        return None
+    lt_pdf, v_pdf, lt_map, v_map = r
+    spark = parsed.sparkSession
     lt_df = spark.createDataFrame(
         lt_pdf, "logtype_id long, logtype string, num_vars int, n_rows long"
     )
-
-    v_pdf = (
-        parsed.select(F.explode(F.arrays_zip("var_strs", "var_types")).alias("z"))
-        .filter(F.col("z.var_types") == VT_DICT)
-        .select(F.col("z.var_strs").alias("value"))
-        .distinct()
-        .orderBy("value")
-        .limit(sample_cap + 1)
-        .toPandas()
-    )
-    if len(v_pdf) > sample_cap:
-        return None
-    v_pdf.insert(0, "var_id", range(len(v_pdf)))
-    v_map = dict(zip(v_pdf["value"], v_pdf["var_id"]))
     v_df = spark.createDataFrame(v_pdf, "var_id long, value string")
     return lt_df, v_df, lt_map, v_map
 

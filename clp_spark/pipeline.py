@@ -23,11 +23,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from clp_spark.checkpoint import RunManifest
 from clp_spark.config import PipelineConfig
 from clp_spark.dicts.build import (
+    LOGTYPE_DICT_ARROW_SCHEMA,
+    VAR_DICT_ARROW_SCHEMA,
     build_dicts_small,
+    build_dicts_small_pandas,
     build_logtype_dict,
     build_var_dict,
     encode_with_dicts,
     encode_with_maps,
+    write_dict_parquet,
 )
 from clp_spark.parse.tokenizer import tokenize_df
 from clp_spark.util import spread
@@ -109,6 +113,15 @@ def compress(
             c for c in ("url", "warc_ts", "lang") if c in pages.columns
         ] + ["bucket"]
         parsed = tokenize_df(bucketed, passthrough=passthrough)
+        # per-bucket row counts ride along with the write as observed
+        # metrics — no second scan of the written output (the read-back
+        # count job was a fixed serial cost charged to every cluster size)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"parse_counts_{run_id}")
+        parsed = parsed.observe(
+            obs, *[F.count_if(F.col("bucket") == b).alias(f"b{b}") for b in todo]
+        )
         (
             parsed.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -117,19 +130,10 @@ def compress(
             .parquet(parsed_dir)
         )
         wall_ms = int(1000 * (time.time() - t0))
-        with_bucket = parsed_schema.add("bucket", "long")
-        counts = {
-            r["bucket"]: r["n"]
-            for r in spark.read.schema(with_bucket)
-            .parquet(parsed_dir)
-            .filter(F.col("bucket").isin(todo))
-            .groupBy("bucket")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
+        counts = obs.get
         for b in todo:
             manifest.commit(
-                "parse", b, run_id, rows_out=int(counts.get(b, 0)), wall_ms=wall_ms
+                "parse", b, run_id, rows_out=int(counts.get(f"b{b}", 0)), wall_ms=wall_ms
             )
 
     parsed_all = spark.read.schema(parsed_schema).parquet(parsed_dir)
@@ -138,14 +142,24 @@ def compress(
     # Fast path: dictionaries are CLP-small → one collect per dict,
     # driver-side value-sort. Fallback: fully distributed range-ranked
     # IDs. Both produce the same value-sorted-rank dictionaries.
-    lt_map = v_map = None
+    lt_map = v_map = lt_pdf = None
     if "dicts" not in manifest.committed("dicts"):
         t0 = time.time()
-        small = build_dicts_small(parsed_all, cfg.driver_dict_cap)
+        small = build_dicts_small_pandas(parsed_all, cfg.driver_dict_cap)
         if small is not None:
-            lt_df, v_df, lt_map, v_map = small
-            lt_df.write.mode("overwrite").parquet(os.path.join(dicts_dir, "logtype"))
-            v_df.write.mode("overwrite").parquet(os.path.join(dicts_dir, "var"))
+            lt_pdf, v_pdf, lt_map, v_map = small
+            write_dict_parquet(
+                lt_pdf,
+                os.path.join(dicts_dir, "logtype"),
+                LOGTYPE_DICT_ARROW_SCHEMA,
+                cfg.compression_codec,
+            )
+            write_dict_parquet(
+                v_pdf,
+                os.path.join(dicts_dir, "var"),
+                VAR_DICT_ARROW_SCHEMA,
+                cfg.compression_codec,
+            )
             lt_card, v_card = len(lt_map), len(v_map)
         else:
             build_logtype_dict(parsed_all, cfg.dict_id_partitions).write.mode(
@@ -189,7 +203,19 @@ def compress(
             encoded = encode_with_dicts(
                 parsed_all, lt_dict, v_dict, cfg.driver_dict_cap
             )
-        hot = hot_logtypes_from_dict(lt_dict, cfg.hot_logtype_threshold)
+        if lt_pdf is not None:
+            # fresh fast path: the logtype dict (with n_rows) is already
+            # on the driver — no extra Spark jobs for hot-template detection
+            total = int(lt_pdf["n_rows"].sum()) or 0
+            hot = [
+                int(i)
+                for i in lt_pdf.loc[
+                    lt_pdf["n_rows"] >= cfg.hot_logtype_threshold * total,
+                    "logtype_id",
+                ]
+            ]
+        else:
+            hot = hot_logtypes_from_dict(lt_dict, cfg.hot_logtype_threshold)
         # persist the sinked rows: the metrics/manifest aggregations reuse
         # them directly instead of re-opening the many small sink files
         enc_sinked = add_sink_id(encoded, cfg.num_sinks).persist()

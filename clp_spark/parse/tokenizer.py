@@ -106,20 +106,29 @@ def parse_one(msg: str):
     """Tokenize one message → (logtype, var_strs, var_types, enc_prelim).
 
     enc_prelim holds the int64 encoding for INT/FLOAT vars; DICT slots get
-    0 (patched with the dictionary ID by the enrich stage). The loop only
-    visits variable matches — static-only messages cost one regex scan +
-    one translate.
+    0 (patched with the dictionary ID by the enrich stage).
+
+    Hot-loop shape: ONE re.split call does the regex scan AND all the
+    string slicing in C (capture groups interleave statics with the five
+    classification alternatives at stride 6); the Python loop only
+    classifies via group-slot None-ness — measured ~1.3x faster than the
+    equivalent finditer loop, byte-identical output (fuzz-asserted).
     """
+    parts = _VAR_RE.split(msg)
+    n = (len(parts) - 1) // 6
+    if n == 0:
+        return msg.translate(_ESC_TRANS), [], [], []
     lt: list[str] = []
     vs: list[str] = []
     vt: list[int] = []
     ev: list[int] = []
-    last = 0
-    for m in _VAR_RE.finditer(msg):
-        tok = m.group(0)
-        kind = m.lastgroup
-        lt.append(msg[last : m.start()].translate(_ESC_TRANS))
-        if kind == "i":
+    k = 0
+    for _ in range(n):
+        lt.append(parts[k].translate(_ESC_TRANS))
+        gi = parts[k + 1]
+        gf = parts[k + 2]
+        if gi is not None:
+            tok = gi
             v = int(tok)
             if _INT64_MIN <= v <= _INT64_MAX:
                 lt.append(PLACEHOLDER_INT)
@@ -129,7 +138,8 @@ def parse_one(msg: str):
                 lt.append(PLACEHOLDER_DICT)
                 vt.append(VT_DICT)
                 ev.append(0)
-        elif kind == "f":
+        elif gf is not None:
+            tok = gf
             f = _encode_float_packed(tok)
             if f is not None:
                 lt.append(PLACEHOLDER_FLOAT)
@@ -139,13 +149,15 @@ def parse_one(msg: str):
                 lt.append(PLACEHOLDER_DICT)
                 vt.append(VT_DICT)
                 ev.append(0)
-        else:  # d / e / h → dictionary var
+        else:  # d / e / h → dictionary var (none can match empty, so
+            # the or-chain picks exactly the participating group)
+            tok = parts[k + 3] or parts[k + 4] or parts[k + 5]
             lt.append(PLACEHOLDER_DICT)
             vt.append(VT_DICT)
             ev.append(0)
         vs.append(tok)
-        last = m.end()
-    lt.append(msg[last:].translate(_ESC_TRANS))
+        k += 6
+    lt.append(parts[k].translate(_ESC_TRANS))
     return "".join(lt), vs, vt, ev
 
 

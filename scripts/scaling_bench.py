@@ -74,6 +74,18 @@ def run_once(cores: int, pages_path: str, n_docs: int) -> dict:
         tuple(r)
         for r in spark.read.parquet(res["metrics"]).orderBy("sink_id").collect()
     ]
+    # per-phase walls from the run manifest (diagnostic: which stage
+    # carries the serial residue at this parallelism)
+    phase_walls = {}
+    try:
+        with open(res["manifest"]) as f:
+            for line in f:
+                rec = json.loads(line)
+                phase_walls[rec["phase"]] = max(
+                    phase_walls.get(rec["phase"], 0), rec.get("wall_ms", 0)
+                )
+    except Exception:
+        pass
     shutil.rmtree(out, ignore_errors=True)
     spark.stop()
     return {
@@ -82,6 +94,7 @@ def run_once(cores: int, pages_path: str, n_docs: int) -> dict:
         "docs_per_sec": round(n_docs / wall, 1),
         "mb_per_sec": round(raw_bytes / 1e6 / wall, 2),
         "steal_jiffies": steal,
+        "phase_wall_ms": phase_walls,
         "sink_metrics": metrics,
     }
 

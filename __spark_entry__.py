@@ -659,7 +659,8 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n_lines
               FROM idx GROUP BY file, mi)
             SELECT file,
-                   mi - min(mi) OVER (PARTITION BY file) AS msg_idx,
+                   CAST(mi - min(mi) OVER (PARTITION BY file) AS BIGINT)
+                       AS msg_idx,
                    message, n_lines
             FROM grouped
         """,

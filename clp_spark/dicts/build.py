@@ -199,20 +199,23 @@ def write_dict_parquet(
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
-    import os
-    import shutil
+    import pyarrow.fs as pafs
 
-    shutil.rmtree(dirpath, ignore_errors=True)
-    os.makedirs(dirpath, exist_ok=True)
+    # resolve the filesystem from the URI so s3://, hdfs://, gs:// paths
+    # go to the remote store (a plain local write would silently target
+    # a bogus local path while the later spark.read hits the remote)
+    fs, resolved = pafs.FileSystem.from_uri(dirpath)
+    try:
+        fs.delete_dir(resolved)
+    except (FileNotFoundError, OSError):
+        pass
+    fs.create_dir(resolved, recursive=True)
     arrow_schema = pa.schema([(n, getattr(pa, t)()) for n, t in schema])
     tbl = pa.Table.from_pandas(
         pdf[[n for n, _ in schema]], schema=arrow_schema, preserve_index=False
     )
-    pq.write_table(
-        tbl,
-        os.path.join(dirpath, "part-00000.zstd.parquet"),
-        compression=compression,
-    )
+    with fs.open_output_stream(f"{resolved}/part-00000.zstd.parquet") as out:
+        pq.write_table(tbl, out, compression=compression)
 
 
 def build_dicts_small(
@@ -344,11 +347,14 @@ def encode_with_dicts(
 
         return with_lt.mapInPandas(patch, schema=out_schema)
 
-    # Large-dictionary fallback: synthesize a unique row key (persist
-    # pins the partition-dependent ids so both regroup sides agree),
+    # Large-dictionary fallback: synthesize a unique row key
+    # (localCheckpoint pins the partition-dependent ids so both regroup
+    # sides agree, and its storage is GC-reclaimed — no unpersist leak),
     # normalize (posexplode), shuffle-join on the variable string,
     # regroup by the synthesized key.
-    keyed = with_lt.withColumn("_rid", F.monotonically_increasing_id()).persist()
+    keyed = with_lt.withColumn(
+        "_rid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
     exploded = (
         keyed.select(
             "_rid",

@@ -82,8 +82,11 @@ _MAX_DRIVER_DICT_ROWS = 2_000_000
 
 # (lt_df_id, v_df_id, cap) → (lt_df, v_df, b_lt, b_v) — one collect +
 # broadcast per corpus per session, not per decode call; the DataFrame
-# refs pin the id()s
-_BROADCAST_CACHE: dict = {}
+# refs pin the id()s. Bounded LRU: evicted broadcasts are reclaimed by
+# Spark's ContextCleaner once the handle (and capturing plans) are GC'd.
+from clp_spark.util import LruCache
+
+_BROADCAST_CACHE: LruCache = LruCache(maxsize=8)
 
 
 def decode_messages(
@@ -124,8 +127,8 @@ def decode_messages(
         )
         v_small = lt_small and len(v_rows) <= driver_dict_cap
         if not (lt_small and v_small):
-            _BROADCAST_CACHE[cache_key] = (
-                logtype_dict, var_dict, None, None, lt_small,
+            _BROADCAST_CACHE.put(
+                cache_key, (logtype_dict, var_dict, None, None, lt_small)
             )
             return _decode_messages_joined(
                 encoded, logtype_dict, var_dict, out_col, lt_small
@@ -134,7 +137,7 @@ def decode_messages(
         v_map = {r["var_id"]: r["value"] for r in v_rows}
         b_lt = spark.sparkContext.broadcast(lt_map)
         b_v = spark.sparkContext.broadcast(v_map)
-        _BROADCAST_CACHE[cache_key] = (logtype_dict, var_dict, b_lt, b_v, True)
+        _BROADCAST_CACHE.put(cache_key, (logtype_dict, var_dict, b_lt, b_v, True))
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in encoded.schema
@@ -168,12 +171,16 @@ def _decode_messages_joined(
     """Join-based decode for dictionaries too large for the driver.
 
     The row key is synthesized (monotonically_increasing_id) and the
-    keyed frame is persisted so both sides of the regroup see the same
-    ids (the id is partition-dependent; persisting pins it)."""
+    keyed frame is pinned with localCheckpoint so both sides of the
+    regroup see the same ids (the id is partition-dependent). Unlike
+    .persist(), checkpoint storage is reclaimed when the plan is GC'd —
+    no unpersist bookkeeping leak."""
     import pyspark.sql.functions as F
 
     cols = encoded.columns
-    keyed = encoded.withColumn("_rid", F.monotonically_increasing_id()).persist()
+    keyed = encoded.withColumn(
+        "_rid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
 
     # per-row dict-var strings, in slot order
     ex = keyed.select(

@@ -87,8 +87,11 @@ class _DictIndex:
 
 
 # (lt_df_id, v_df_id) → (lt_df, v_df, _DictIndex | None); the DataFrame
-# refs pin the id()s. One collect per corpus per session, not per query.
-_INDEX_CACHE: dict = {}
+# refs pin the id()s. One collect per corpus per session, not per query;
+# bounded LRU so old corpora aren't pinned forever.
+from clp_spark.util import LruCache
+
+_INDEX_CACHE: LruCache = LruCache(maxsize=8)
 
 
 def _load_index(logtype_dict: DataFrame, var_dict: DataFrame) -> _DictIndex | None:
@@ -109,7 +112,7 @@ def _load_index(logtype_dict: DataFrame, var_dict: DataFrame) -> _DictIndex | No
         ]
         if len(v_rows) <= cap:
             idx = _DictIndex(lt_rows, v_rows)
-    _INDEX_CACHE[key] = (logtype_dict, var_dict, idx)
+    _INDEX_CACHE.put(key, (logtype_dict, var_dict, idx))
     return idx
 
 

@@ -190,17 +190,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{k-1}) MinHash signature over word n-gram shingles.
 
-    ZERO shuffles and ONE md5 per shingle: each shingle is hashed once
-    to a 60-bit base value; the k permutations are cheap rotate-xor
-    mixes of that base (bijective on 60 bits, so each min is a valid
-    MinHash under a distinct permutation). Round 1 computed k md5s per
-    shingle AND shuffled an explode through a k-column aggregate. Docs
-    with no shingles (< n words) are dropped.
+    ONE md5 per shingle: each shingle is hashed once to a 60-bit base
+    value; the k permutations are cheap rotate-xor mixes of that base
+    (bijective on 60 bits, so each min is a valid MinHash under a
+    distinct permutation). Docs with no shingles (< n words) are
+    dropped. See _signatures_from_sets for the measured engine choice.
     """
     sets = word_shingle_sets(docs, n, id_col, text_col, drop_short=True)
-    return _with_signature_cols(sets, num_hashes).select(
-        "id", *[f"h{i}" for i in range(num_hashes)]
-    )
+    return _signatures_from_sets(sets, num_hashes)
 
 
 _M60 = (1 << 60) - 1
@@ -230,16 +227,26 @@ def _mix_sql(h: str, r: int, c: int, xor_fn: str = "^") -> str:
     return f"{xor_fn}({rot}, {c})"
 
 
-def _with_signature_cols(sets: DataFrame, num_hashes: int) -> DataFrame:
-    base = F.expr(f"transform(shingles, s -> {_h60('s', 0)})").alias("_hs")
-    withb = sets.select("*", base)
-    cols = [
-        F.expr(f"array_min(transform(_hs, h -> {_mix_sql('h', r, c)}))").alias(
-            f"h{i}"
-        )
+def _signatures_from_sets(sets: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, h0..h{k-1}) from a (id, shingles, sz) set table.
+
+    Engine choice (A/B-measured at sf0.1, 32 cores): explode + one md5 +
+    k codegen'd min-aggregates = 1.76s cold / 0.70s warm, vs the
+    higher-order-function shape (transform + array_min per permutation,
+    evaluated interpreted — the trap tokenizer.py:14-21 documents) =
+    2.99s cold / 0.61s warm. The explode adds one shuffle on id, but
+    map-side partial aggregation reduces it to ~one row per id per map
+    partition, so shuffle volume is n_docs × k longs — fine at scale.
+    """
+    ex = sets.select("id", F.explode_outer("shingles").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    ex = ex.withColumn("h", F.expr(_h60("s", 0)))
+    aggs = [
+        F.min(F.expr(_mix_sql("h", r, c))).alias(f"h{i}")
         for i, (r, c) in enumerate(minhash_mix_params(num_hashes))
     ]
-    return withb.select("*", *cols).drop("_hs")
+    return ex.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -250,20 +257,29 @@ def minhash_lsh_pairs(
     threshold: tuple[int, int] = (1, 2),
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH + exact Jaccard verification.
 
     Candidate pairs share at least one of `bands` band-hashes (classic
-    shingle→minhash→band→bucket). Candidates come from ONE shuffle: a
-    hash aggregate groups ids per (band, band-hash) bucket, and pairs
-    are expanded per bucket with array algebra — no self-join, so the
-    signature computation runs once instead of once per join side.
-    Candidates are then verified with the exact integer Jaccard test, so
-    output ⊆ ngram_jaccard_pairs and contains every pair LSH recalls.
+    shingle→minhash→band→bucket). The shingle-set frame is materialized
+    ONCE (localCheckpoint — round 2 recomputed it 3×: signature + both
+    verify sides; the storage is reclaimed when the plan is GC'd, unlike
+    a .persist() pinned in the cache manager). Bucketing is one hash
+    aggregate; pairs within a bucket of ≤ max_bucket_size ids expand
+    with array algebra (O(k²) structs but bounded: cap²/2 per row), and
+    OVERSIZED buckets — degenerate boilerplate clusters, *the* common
+    case in web corpora — take a distributed self-join on the bucket key
+    instead, which yields the identical pairs spread across rows rather
+    than one O(k²) aggregation buffer (round 2 would OOM one executor on
+    a 100k-id bucket here). Candidates are then verified with the exact
+    integer Jaccard test, so output ⊆ ngram_jaccard_pairs and contains
+    every pair LSH recalls.
     """
     rows = num_hashes // bands
     sets = word_shingle_sets(docs, n, id_col, text_col, drop_short=True)
-    sig = _with_signature_cols(sets, num_hashes)
+    sets = sets.localCheckpoint(eager=False)
+    sig = _signatures_from_sets(sets, num_hashes)
     band_cols = []
     for j in range(bands):
         cols = ", ".join(f"h{j * rows + r}" for r in range(rows))
@@ -278,18 +294,32 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    # all i<j index pairs within a bucket; sorted ids ⇒ doc_a < doc_b
+    # all i<j index pairs within a small bucket; sorted ids ⇒ doc_a < doc_b
     pair_expr = (
         "flatten(transform(sequence(0, size(ids)-2), i -> "
         "transform(sequence(i+1, size(ids)-1), j -> "
         "named_struct('doc_a', ids[i], 'doc_b', ids[j]))))"
     )
-    cand = (
-        buckets.select(F.explode_outer(F.expr(pair_expr)).alias("p"))
+    small_pairs = (
+        buckets.filter(F.size("ids") <= max_bucket_size)
+        .select(F.explode_outer(F.expr(pair_expr)).alias("p"))
         .filter(F.col("p").isNotNull())
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
     )
+    # oversized buckets: re-flatten the member list (O(k) rows, each
+    # carrying no array) and self-join on the bucket key — the classic
+    # LSH candidate join, but only for the few degenerate buckets. Both
+    # sides read the SAME shuffled aggregation output (ReusedExchange).
+    big = buckets.filter(F.size("ids") > max_bucket_size).select(
+        "band", "bh", F.explode("ids").alias("id")
+    )
+    big_pairs = (
+        big.alias("a")
+        .join(big.alias("b"), ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+    )
+    cand = small_pairs.union(big_pairs).distinct()
     # Verify ONLY candidate pairs, with NO second pair join: each side's
     # shingle SET (an array column) is joined onto the candidate pair by
     # id, and the exact Jaccard test is size(array_intersect(·,·)) —
@@ -355,7 +385,7 @@ def simhash(
 
 def simhash_near_dup_pairs(
     docs: DataFrame,
-    max_hamming: int = 12,
+    max_hamming: int = 3,
     bits: int = 60,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -371,6 +401,11 @@ def simhash_near_dup_pairs(
     instead of cross-joining. blocks is raised to max_hamming+1 when the
     caller's value would silently lose recall (the round-1 defaults
     did). Verified with bit_count(xor) — output is exact.
+
+    Default max_hamming=3 keeps the pigeonhole selective: 4 blocks of
+    15 bits ⇒ 2^15 join-key values per block. Large radii (e.g. the old
+    default 12 ⇒ 13 blocks of 4–5 bits, ≤32 key values per block) make
+    the candidate join approach n²/32 — pass them only on small inputs.
     """
     if blocks <= max_hamming:
         blocks = max_hamming + 1
@@ -478,7 +513,7 @@ def embedding_near_dup_pairs(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int | None = None,
+    num_planes: int | None = 8,
     dim: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) with cosine similarity ≥ p/q, integer-exact.
@@ -487,8 +522,10 @@ def embedding_near_dup_pairs(
     norms are integers; cos ≥ p/q becomes
     dot ≥ 0 ∧ q²·dot² ≥ p²·‖a‖²·‖b‖².
 
-    num_planes=None compares all pairs (exact, O(n²) — small inputs
-    only). With num_planes=P the scale path runs: each vector lands in a
+    The DEFAULT is the scale path (num_planes=8). num_planes=None is an
+    explicit opt-in to exact all-pairs comparison (O(n²) — the plan is a
+    BroadcastNestedLoopJoin; small inputs only). With num_planes=P the
+    scale path runs: each vector lands in a
     random-hyperplane LSH bucket (deterministic md5-derived ±1 planes,
     same machinery as similarity.lsh_bucket_expr) and only same-bucket
     pairs are compared — the self-join keys on the bucket, so the plan

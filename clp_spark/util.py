@@ -11,7 +11,34 @@ shuffle to a job that is already parallel.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
+
+
+class LruCache(OrderedDict):
+    """Tiny bounded cache for per-session query-time state (collected
+    dictionaries, broadcast handles). Keys include id(DataFrame); the
+    cached tuple pins the DataFrame so the id stays valid. Eviction just
+    drops the reference — Spark's ContextCleaner reclaims any broadcast
+    once the driver-side handle (and the plans that captured it) are
+    GC'd, so nothing is pinned forever (round-2 leak fix)."""
+
+    def __init__(self, maxsize: int = 8):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def get(self, key, default=None):
+        if key in self:
+            self.move_to_end(key)
+            return self[key]
+        return default
+
+    def put(self, key, value) -> None:
+        self[key] = value
+        self.move_to_end(key)
+        while len(self) > self.maxsize:
+            self.popitem(last=False)
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -69,6 +69,23 @@ def test_minhash_lsh_subset_of_exact(docs):
     assert len(exact) > 0 and len(lsh) >= len(exact) * 0.8
 
 
+def test_minhash_lsh_bucket_cap_same_pairs(docs):
+    """max_bucket_size=1 forces EVERY bucket through the oversized-bucket
+    self-join path; the candidate set (and thus the verified output) must
+    be identical to the default array-expansion path."""
+    default = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=(4, 5)).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, threshold=(4, 5), max_bucket_size=1
+        ).collect()
+    }
+    assert capped == default
+
+
 def test_simhash_identical_docs_equal(spark):
     df = spark.createDataFrame(
         [(1, "x y z w"), (2, "x y z w"), (3, "completely different words here")],

@@ -146,8 +146,9 @@ class TestTokenizer:
 
 
 class TestSqlEngine:
-    """The default JVM-expression engine agrees exactly with the Python
-    engine and the oracle (tokenizer.py `tokenize_exprs`)."""
+    """The opt-in JVM-expression engine (CLP_SPARK_TOKENIZER=sql,
+    measured slower than the default Python engine) agrees exactly with
+    the default engine and the oracle (tokenizer.py `tokenize_exprs`)."""
 
     def _check_corpus(self, spark, texts):
         import pandas as pd

@@ -102,6 +102,54 @@ def _docs_sinks(spark: SparkSession, sf_dir: str) -> str:
     return _CORPUS_CACHE[key]
 
 
+def _events_json_archive(spark, sf):
+    # clp_s path: JSON records (typed ints, VarStrings, a ClpString
+    # message) → schema tree + typed encode; cached per (session, sf)
+    key = ("json_arch", id(spark), sf)
+    if key not in _CORPUS_CACHE:
+        from clp_spark.clps import encode_json_df
+
+        ev = _read(spark, sf, "events")
+        j = ev.select(
+            "event_id",
+            F.to_json(
+                F.struct(
+                    F.col("event_type").alias("type"),
+                    F.col("user_id").alias("uid"),
+                    F.get_json_object("props", "$.k")
+                    .cast("long")
+                    .alias("k"),
+                    F.concat(
+                        F.lit("user "),
+                        "user_id",
+                        F.lit(" did "),
+                        "event_type",
+                    ).alias("msg"),
+                )
+            ).alias("json"),
+        )
+        arch = encode_json_df(j, "json", passthrough=["event_id"])
+        arch.encoded = arch.encoded.persist()
+        _CORPUS_CACHE[key] = arch
+    return _CORPUS_CACHE[key]
+
+
+def warm_archives(spark: SparkSession, sf_dir: str) -> None:
+    """Build every per-session encoded archive the queries share (CLP's
+    model is compress-once / search-many). bench.py times THIS as the
+    archive/compress cost and times the queries separately — warming the
+    archives without pre-running the timed queries themselves (round 2
+    pre-ran every timed query once, which also warmed persisted frames,
+    shuffle files, and the page cache — hot-cache repeats reported as
+    query latency)."""
+    enc, lt, vd = _docs_corpus(spark, sf_dir)
+    enc.count()  # materialize the persisted frames
+    enc2, lt2, vd2 = _events_corpus(spark, sf_dir)
+    enc2.count()
+    _docs_sinks(spark, sf_dir)
+    _events_json_archive(spark, sf_dir).encoded.count()
+
+
 _DAY_MS = 24 * 3600 * 1000
 
 
@@ -210,37 +258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "message",
             F.col("n_lines").cast("long").alias("n_lines"),
         )
-
-    def _events_json_archive(spark, sf):
-        # clp_s path: JSON records (typed ints, VarStrings, a ClpString
-        # message) → schema tree + typed encode; cached per (session, sf)
-        key = ("json_arch", id(spark), sf)
-        if key not in _CORPUS_CACHE:
-            from clp_spark.clps import encode_json_df
-
-            ev = _read(spark, sf, "events")
-            j = ev.select(
-                "event_id",
-                F.to_json(
-                    F.struct(
-                        F.col("event_type").alias("type"),
-                        F.col("user_id").alias("uid"),
-                        F.get_json_object("props", "$.k")
-                        .cast("long")
-                        .alias("k"),
-                        F.concat(
-                            F.lit("user "),
-                            "user_id",
-                            F.lit(" did "),
-                            "event_type",
-                        ).alias("msg"),
-                    )
-                ).alias("json"),
-            )
-            arch = encode_json_df(j, "json", passthrough=["event_id"])
-            arch.encoded = arch.encoded.persist()
-            _CORPUS_CACHE[key] = arch
-        return _CORPUS_CACHE[key]
 
     def clp_json_typed_filter(spark, sf):
         # KQL-style 'k < 50 AND type: "click"' over the encoded archive

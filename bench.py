@@ -2,8 +2,13 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
+   "queries": {name: cold_sec, ...},       # first run vs warm archives
+   "queries_warm": {name: warm_sec, ...},  # immediate re-run
+   "archive_build_sec": ...,               # compress-once cost, untimed in value
+   "sf": ...,
    "pipeline": {docs, raw_mb, wall_sec, docs_per_sec, mb_per_sec}}
+
+value = sum(cold query secs) + pipeline wall.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
@@ -52,24 +57,29 @@ def main() -> None:
         "text_quality",
         "text_fingerprint",
     ]
-    # Warm-up pass (untimed): builds the per-session encoded archives
-    # (compress_df corpus, persisted sinks, clp_s JSON archive) that the
-    # timed queries share. CLP's model is compress-once / search-many —
-    # the timed numbers below are query latency against an existing
-    # archive; the compress cost itself is reported separately in the
-    # "pipeline" section.
-    warm_wall = time.time()
-    for name in headline:
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    warm_wall = round(time.time() - warm_wall, 3)
+    # Archive build (untimed relative to queries, reported separately):
+    # builds ONLY the shared encoded archives (compress_df corpora,
+    # persisted sinks, clp_s JSON archive) — CLP's model is
+    # compress-once / search-many. The timed queries themselves are NOT
+    # pre-run (round 2 did, which also warmed persisted frames, shuffle
+    # files and the page cache — its "query" numbers were hot repeats).
+    # Each query is then timed twice: `queries` = first (cold) run
+    # against the warm archives; `queries_warm` = immediate re-run.
+    t0 = time.time()
+    em.warm_archives(spark, sf_dir)
+    archive_build_sec = round(time.time() - t0, 3)
 
     times: dict[str, float] = {}
+    times_warm: dict[str, float] = {}
     for name in headline:
         t0 = time.time()
         df = queries[name](spark, sf_dir)
         # noop sink forces full materialization without collect overhead
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times_warm[name] = round(time.time() - t0, 3)
 
     # ---- pipeline throughput: parse → dicts → encode → route → metrics ----
     from clp_spark.config import PipelineConfig
@@ -96,6 +106,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_warm": times_warm,
         "sf": sf,
         "pipeline": {
             "docs": n_pages,
@@ -104,7 +115,7 @@ def main() -> None:
             "docs_per_sec": round(n_pages / pipeline_wall, 1),
             "mb_per_sec": round(raw_bytes / 1e6 / pipeline_wall, 2),
         },
-        "archive_build_sec": warm_wall,
+        "archive_build_sec": archive_build_sec,
         "cpus": cpus,
     }
     print(json.dumps(result))

@@ -39,8 +39,8 @@ from clp_spark.route.fanout import (
     add_sink_id,
     hot_logtypes_from_dict,
     route_to_sinks,
-    sink_manifests,
     sink_metrics,
+    sink_summary,
     sink_var_cardinality,
 )
 
@@ -221,44 +221,67 @@ def compress(
         enc_sinked = add_sink_id(encoded, cfg.num_sinks).persist()
         route_to_sinks(enc_sinked, sinks_dir, cfg, hot_logtypes=hot, presinked=True)
         encoded_schema = enc_sinked.schema
-        # per-sink inverted indexes (CLP segment-index analog) + metrics:
-        # three independent aggregations over the persisted frame — run
-        # as CONCURRENT Spark jobs (driver threads) so their latency
-        # overlaps instead of serializing; each is small relative to the
-        # parse/route stages, and serial small jobs are exactly what
-        # erodes N→4N scaling
+        # Post-route bookkeeping, TWO scans of the persisted frame (round
+        # 2 used four — the fixed serial small-job cost behind the 29%
+        # local[32] pipeline-wall regression): sink_summary fuses the
+        # per-sink metrics with the logtype inverted index (+ ts zone
+        # map) into one groupBy, and the var-dict manifest keeps its own
+        # distinct-pair scan (var dicts are too big for an array
+        # aggregate). The two scans run as CONCURRENT driver threads; the
+        # metrics/manifest writes then derive from the two tiny results.
         from concurrent.futures import ThreadPoolExecutor
 
         need_metrics = "metrics" not in manifest.committed("metrics")
-        lt_man, var_man = sink_manifests(enc_sinked)
+        t_m = time.time()
+        summary = sink_summary(enc_sinked).persist()
 
         def _w_lt():
-            lt_man.write.mode("overwrite").parquet(
+            summary.select(
+                "sink_id", F.explode("lt_set").alias("logtype_id")
+            ).write.mode("overwrite").parquet(
                 os.path.join(out_dir, "manifest", "logtype")
             )
+
+        var_man = (
+            enc_sinked.select("sink_id", F.explode("dict_var_ids").alias("var_id"))
+            .distinct()
+            .persist()
+        )
 
         def _w_var():
             var_man.write.mode("overwrite").parquet(
                 os.path.join(out_dir, "manifest", "var")
             )
 
-        def _w_metrics():
-            m = sink_metrics(enc_sinked).join(
-                sink_var_cardinality(enc_sinked), "sink_id", "left"
-            ).na.fill({"var_cardinality": 0})
-            m.write.mode("overwrite").parquet(metrics_dir)
-
-        jobs = [_w_lt, _w_var] + ([_w_metrics] if need_metrics else [])
-        t_m = time.time()
-        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-            futures = [pool.submit(j) for j in jobs]
-            for f in futures:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(_w_lt), pool.submit(_w_var)]:
                 f.result()
         manifest.commit("route", "route", run_id, wall_ms=int(1000 * (time.time() - t0)))
         if need_metrics:
+            ts_cols = [c for c in ("ts_min", "ts_max") if c in summary.columns]
+            var_card = var_man.groupBy("sink_id").agg(
+                F.count("*").alias("var_cardinality")
+            )
+            m = (
+                summary.select(
+                    "sink_id",
+                    "rows",
+                    F.size("lt_set").alias("logtype_cardinality"),
+                    "n_encoded_vars",
+                    "encoded_bytes",
+                    "raw_bytes",
+                    *ts_cols,
+                )
+                .join(var_card, "sink_id", "left")
+                .na.fill({"var_cardinality": 0})
+                .orderBy("sink_id")
+            )
+            m.write.mode("overwrite").parquet(metrics_dir)
             manifest.commit(
                 "metrics", "metrics", run_id, wall_ms=int(1000 * (time.time() - t_m))
             )
+        summary.unpersist()
+        var_man.unpersist()
         enc_sinked.unpersist()
     if encoded_schema is None:
         encoded_schema = add_sink_id(

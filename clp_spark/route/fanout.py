@@ -122,6 +122,34 @@ def sink_manifests(
     return lt, var
 
 
+def sink_summary(encoded_with_sink: DataFrame) -> DataFrame:
+    """ONE pass over the routed rows fusing the per-sink metric
+    aggregates with the logtype inverted index (round 2 ran them as two
+    separate scans of the persisted frame, plus a third for var
+    cardinality — the serial small jobs that eroded N→4N scaling and
+    the local[32] pipeline wall).
+
+    Output: sink_id, rows, n_encoded_vars, encoded_bytes, raw_bytes,
+    lt_set (sorted distinct logtype ids — safe as an array: the logtype
+    dictionary is CLP-small by design, unlike the var dict, which keeps
+    its pair-table manifest). Derive:
+      metrics  = select(..., size(lt_set) AS logtype_cardinality)
+      manifest = select(sink_id, explode(lt_set))
+    Optional min/max of `ts_col` ride along when present — the sink-level
+    timestamp zone map used for archive-style time pruning."""
+    aggs = [
+        F.count("*").alias("rows"),
+        F.sum(F.size("encoded_vars")).alias("n_encoded_vars"),
+        F.sum(F.expr("8 + 8 + 8 * size(encoded_vars)")).alias("encoded_bytes"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sort_array(F.collect_set("logtype_id")).alias("lt_set"),
+    ]
+    for c in ("warc_ts",):
+        if c in encoded_with_sink.columns:
+            aggs += [F.min(c).alias("ts_min"), F.max(c).alias("ts_max")]
+    return encoded_with_sink.groupBy("sink_id").agg(*aggs)
+
+
 def sink_metrics(encoded_with_sink: DataFrame) -> DataFrame:
     """Per-sink aggregate contract (exact-match vs oracle).
 

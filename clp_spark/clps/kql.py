@@ -171,5 +171,6 @@ def kql_query(archive: JsonArchive, query: str) -> DataFrame:
         # SchemaMatch: a pure AND-of-positive-conditions query can only
         # match records whose schema contains the referenced nodes
         sids = schema_candidates(archive, p.prune_nodes)
-        df = df.filter(F.col("schema_id").isin(sids))
+        if sids is not None:
+            df = df.filter(F.col("schema_id").isin(sids))
     return df.filter(pred)

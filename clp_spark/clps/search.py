@@ -43,21 +43,49 @@ _CMP = {"lt": "<", "gt": ">", "lte": "<=", "gte": ">=", "eq": "="}
 
 
 def _nodes_for_path(archive: JsonArchive, path: str, tags=None) -> list[int]:
-    return sorted(
-        nid
-        for (p, t), nid in archive.node_map.items()
-        if p == path and (tags is None or t in tags)
-    )
+    if archive.node_map is not None:
+        return sorted(
+            nid
+            for (p, t), nid in archive.node_map.items()
+            if p == path and (tags is None or t in tags)
+        )
+    # huge-tree fallback (distributed archive build left node_map=None):
+    # the per-path match set is small even when the tree is not
+    cond = F.col("path") == path
+    if tags is not None:
+        cond = cond & F.col("tag").isin(sorted(tags))
+    return sorted(r["node_id"] for r in archive.tree.filter(cond).collect())
 
 
-def schema_candidates(archive: JsonArchive, node_ids: list[int]) -> list[int]:
+# above this many candidate schema ids, skip schema pruning (the isin
+# filter would be bigger than the benefit; row predicates stay exact)
+_MAX_SCHEMA_CANDIDATES = 100_000
+
+
+def schema_candidates(
+    archive: JsonArchive, node_ids: list[int]
+) -> list[int] | None:
     """Schema ids whose node set intersects node_ids (SchemaMatch
     analog — archives/tables for other schemas are skipped entirely:
-    Output.cpp:66-72)."""
+    Output.cpp:66-72). None = don't prune (degraded, still exact)."""
     nodes = set(node_ids)
-    return sorted(
-        sid for ids, sid in archive.schema_ids.items() if nodes & set(ids)
+    if archive.schema_ids is not None:
+        return sorted(
+            sid for ids, sid in archive.schema_ids.items() if nodes & set(ids)
+        )
+    # huge-schema-set fallback: DataFrame-side intersect with a cap
+    arr = ",".join(str(int(n)) for n in sorted(nodes)) or "-1"
+    rows = (
+        archive.schema_map.filter(
+            F.expr(f"arrays_overlap(node_ids, array({arr}))")
+        )
+        .select("schema_id")
+        .limit(_MAX_SCHEMA_CANDIDATES + 1)
+        .collect()
     )
+    if len(rows) > _MAX_SCHEMA_CANDIDATES:
+        return None
+    return sorted(r["schema_id"] for r in rows)
 
 
 def _exists_pred(nodes: list[int], value_pred: str | None) -> Column:
@@ -209,5 +237,6 @@ def json_filter(
     df = archive.encoded
     if prune_schemas and nodes and op.lower() != "nexists":
         sids = schema_candidates(archive, nodes)
-        df = df.filter(F.col("schema_id").isin(sids))
+        if sids is not None:
+            df = df.filter(F.col("schema_id").isin(sids))
     return df.filter(pred)

@@ -117,3 +117,73 @@ def test_type_split_creates_two_nodes_for_one_path(archive):
     tags = {(p, t) for (p, t) in archive.node_map}
     assert ("level", 4) in tags  # NODE_VARSTR
     assert ("msg", 5) in tags    # NODE_CLPSTR
+
+
+class TestDistributedBuild:
+    """Forcing driver_dict_cap=1 routes encode_json_df through the fully
+    distributed build (assign_stable_ids ranks + join-based encode).
+    The archive must be IDENTICAL to the driver-map fast path's — same
+    dictionaries, same schema map, same encoded rows — and every search
+    and the ordered extract must behave the same (Missing #1 from the
+    round-2 review: the reference builds incrementally at any
+    cardinality, ArchiveWriter.cpp:370-440)."""
+
+    @pytest.fixture(scope="class")
+    def dist_archive(self, spark):
+        df = spark.createDataFrame(
+            [(r["id"], json.dumps(r)) for r in RECORDS], "rid long, json string"
+        )
+        a = encode_json_df(df, "json", passthrough=["rid"], driver_dict_cap=1)
+        a.encoded = a.encoded.persist()
+        a.encoded.count()
+        return a
+
+    def test_same_dictionaries(self, archive, dist_archive):
+        def key(r):
+            return tuple(
+                tuple(x) if isinstance(x, list) else x for x in r
+            )
+
+        for attr in ("tree", "schema_map", "logtype_dict", "var_dict"):
+            fast = {key(r) for r in getattr(archive, attr).collect()}
+            dist = {key(r) for r in getattr(dist_archive, attr).collect()}
+            assert fast == dist, attr
+
+    def test_same_encoded_rows(self, archive, dist_archive):
+        def norm(a):
+            return {
+                r["rid"]: (
+                    r["schema_id"],
+                    tuple(r["node_ids"]),
+                    tuple(
+                        (v["node"], v["enc"], tuple(v["vars"] or []))
+                        for v in r["jvals"]
+                    ),
+                )
+                for r in a.encoded.collect()
+            }
+
+        assert norm(archive) == norm(dist_archive)
+
+    def test_maps_collected_when_small(self, dist_archive):
+        # cap=1 only bounds the driver-map fast path; the final archive's
+        # node_map/schema_ids are still None under the forced tiny cap
+        assert dist_archive.node_map is None
+        assert dist_archive.schema_ids is None
+
+    def test_search_without_driver_maps(self, dist_archive):
+        assert _ids(json_filter(dist_archive, "k", "eq", 42)) == [0, 3]
+        assert _ids(json_filter(dist_archive, "ctx.host", "eq", "node-3")) == [1]
+        assert _ids(
+            json_filter(dist_archive, "msg", "eq", "request handled in 35 ms")
+        ) == [0, 5]
+
+    def test_roundtrip_joined_path(self, dist_archive):
+        out = {
+            r["rid"]: json.loads(r["json"])
+            for r in reconstruct_json_df(dist_archive)
+            .select("rid", "json")
+            .collect()
+        }
+        for rec in RECORDS:
+            assert out[rec["id"]] == rec, rec["id"]

@@ -119,6 +119,7 @@ def _events_json_archive(spark, sf):
                     F.get_json_object("props", "$.k")
                     .cast("long")
                     .alias("k"),
+                    F.struct((F.col("user_id") % 7).alias("r")).alias("ctx"),
                     F.concat(
                         F.lit("user "),
                         "user_id",
@@ -300,8 +301,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id"
         )
 
+    def clp_kql_list_nested(spark, sf):
+        # grammar long tail: value list (OR-of-EQ) + nested-object
+        # subquery with column prepend (Kql.g4 list_of_values /
+        # NestedQuery; kql.cpp:211-218,298-328)
+        from clp_spark.clps import kql_query
+
+        arch = _events_json_archive(spark, sf)
+        return kql_query(
+            arch, "type: (click view) AND ctx: {r: 3} AND k >= 10"
+        ).select("event_id")
+
+    def clp_kql_bare_value(spark, sf):
+        # bare value_expression: matches ANY column ('*' descriptor,
+        # kql.cpp:289-296) — resolves via the var dictionary only
+        from clp_spark.clps import kql_query
+
+        arch = _events_json_archive(spark, sf)
+        return kql_query(arch, '"purchase"').select("event_id")
+
     q["clp_grep"] = clp_grep
     q["clp_kql_query"] = clp_kql_query
+    q["clp_kql_list_nested"] = clp_kql_list_nested
+    q["clp_kql_bare_value"] = clp_kql_bare_value
     q["clp_json_typed_filter"] = clp_json_typed_filter
     q["clp_json_clpstring_eq"] = clp_json_clpstring_eq
     q["clp_json_roundtrip"] = clp_json_roundtrip
@@ -639,6 +661,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id FROM events
             WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 30
               AND event_type IN ('click', 'view')
+        """,
+        "clp_kql_list_nested": """
+            SELECT event_id FROM events
+            WHERE event_type IN ('click', 'view')
+              AND user_id % 7 = 3
+              AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
+        """,
+        "clp_kql_bare_value": """
+            SELECT event_id FROM events WHERE event_type = 'purchase'
         """,
         "clp_json_typed_filter": """
             SELECT event_id FROM events

@@ -1,24 +1,29 @@
-"""Minimal KQL front-end for the JSON engine.
+"""KQL front-end for the JSON engine.
 
-Covers the core of the reference's grammar
-(/root/reference/components/core/src/clp_s/search/kql/Kql.g4:1-80):
+Covers the reference's grammar
+(/root/reference/components/core/src/clp_s/search/kql/Kql.g4:1-80) and
+visitor semantics (kql.cpp:150-330):
 
-    expr     := or_expr
-    or_expr  := and_expr (OR and_expr)*
-    and_expr := unary (AND unary)*
-    unary    := NOT unary | '(' expr ')' | condition
-    condition:= path ':' value          — equality (or wildcard match)
-              | path ':' '*'            — EXISTS
-              | path (> >= < <=) number — range
-    value    := "quoted string" | bare token (int / float / true /
-                false / null / string; may contain * ? wildcards)
+    query    := col ':' '{' query '}'          — nested-object subquery:
+                col is PREPENDED to every column inside (kql.cpp:211-218)
+             | '(' query ')' | NOT query
+             | query (AND|OR) query
+             | expression
+    expr     := col RANGE_OP (timestamp(...) | literal)
+             | col ':' ( list_of_values | timestamp(...) | literal )
+             | literal                          — bare value: matches ANY
+                column ('*' descriptor, kql.cpp:289-296)
+    list     := '(' (AND|OR|NOT)? literal* ')'  — default OR of EQ; NOT =
+                AND of inverted EQ (kql.cpp:298-328)
+    timestamp(...) := 'timestamp(' "ts" [, "pattern"] ')' — parsed with
+                the 36-pattern table (functions/timestamps.py) into epoch
+                millis; compares against Integer nodes.
 
-De Morgan / normalization passes (OrOfAndForm.*, ConstantProp.*) are
+Column descriptors may contain '*' / '?' wildcards; a bare '*' matches
+every column, otherwise tokens match level-by-level ('a.*.c'). De
+Morgan / normalization passes (OrOfAndForm.*, ConstantProp.*) are
 unnecessary here: conditions compile to Catalyst boolean Columns and
 Catalyst's BooleanSimplification does the rest (SURVEY §2.6).
-
-Not covered (v1): nested-object subqueries `a: {b: c}`, date ranges,
-value lists — the reference's long tail.
 """
 
 from __future__ import annotations
@@ -34,12 +39,16 @@ from clp_spark.clps.search import json_predicate, schema_candidates
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lpar>\()|(?P<rpar>\))
+      | (?P<lbrace>\{)|(?P<rbrace>\})
+      | (?P<comma>,)
       | (?P<op>>=|<=|>|<|:)
       | (?P<quoted>"(?:[^"\\]|\\.)*")
-      | (?P<word>[^\s():<>"]+)
+      | (?P<word>[^\s(),:<>"{}]+)
     )""",
     re.X,
 )
+
+_KINDS = ("lpar", "rpar", "lbrace", "rbrace", "comma", "op", "quoted", "word")
 
 
 def _tokenize(q: str) -> list[tuple[str, str]]:
@@ -52,7 +61,7 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
                 break
             raise ValueError(f"KQL tokenize error at: {q[i:]!r}")
         i = m.end()
-        for kind in ("lpar", "rpar", "op", "quoted", "word"):
+        for kind in _KINDS:
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
@@ -81,16 +90,34 @@ def _parse_value(tok_kind: str, tok: str):
     return tok
 
 
+def parse_kql_timestamp(ts_str: str) -> int:
+    """timestamp("...") literal → epoch millis, via the same 36-pattern
+    table ingestion uses (the reference calls its TimestampPattern
+    parser here: kql.cpp:82-145)."""
+    from clp_spark.functions.timestamps import match_leading_timestamp
+
+    pid, ts_ms, prefix, rest = match_leading_timestamp(ts_str)
+    if pid is None or prefix != "" or rest.strip() != "":
+        raise ValueError(f"unparseable timestamp literal: {ts_str!r}")
+    return ts_ms
+
+
+def _is_kw(tok, *kws) -> bool:
+    return tok[0] == "word" and tok[1].lower() in kws
+
+
 class _Parser:
     def __init__(self, tokens, archive: JsonArchive):
         self.toks = tokens
         self.i = 0
         self.archive = archive
+        self.prefix: list[str] = []  # nested-query column prefix stack
         self.prune_nodes: list[int] = []
         self.prunable = True  # only pure positive AND/atom trees prune
 
-    def peek(self):
-        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+    def peek(self, ahead: int = 0):
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else (None, None)
 
     def next(self):
         t = self.peek()
@@ -105,7 +132,7 @@ class _Parser:
 
     def or_expr(self) -> Column:
         c = self.and_expr()
-        while self.peek() == ("word", "OR") or self.peek() == ("word", "or"):
+        while _is_kw(self.peek(), "or"):
             self.next()
             self.prunable = False
             c = c | self.and_expr()
@@ -113,14 +140,14 @@ class _Parser:
 
     def and_expr(self) -> Column:
         c = self.unary()
-        while self.peek() == ("word", "AND") or self.peek() == ("word", "and"):
+        while _is_kw(self.peek(), "and"):
             self.next()
             c = c & self.unary()
         return c
 
     def unary(self) -> Column:
         kind, tok = self.peek()
-        if kind == "word" and tok in ("NOT", "not"):
+        if _is_kw((kind, tok), "not"):
             self.next()
             self.prunable = False
             return ~self.unary()
@@ -133,32 +160,129 @@ class _Parser:
             return c
         return self.condition()
 
+    # ---- conditions -------------------------------------------------
+
+    def _full_path(self, path: str) -> str:
+        return ".".join(self.prefix + [path]) if self.prefix else path
+
+    def _pred(self, path: str, op: str, value) -> Column:
+        pred, nodes = json_predicate(self.archive, self._full_path(path), op, value)
+        self.prune_nodes += nodes
+        return pred
+
+    def _timestamp_value(self) -> int:
+        """Consume 'timestamp' '(' "ts" [',' "pattern"] ')' (the word
+        'timestamp' was already consumed by the caller)."""
+        k, _ = self.next()
+        if k != "lpar":
+            raise ValueError("expected '(' after timestamp")
+        vk, vt = self.next()
+        if vk != "quoted":
+            raise ValueError("timestamp() needs a quoted string")
+        ts_str = _parse_value(vk, vt)
+        k, tok = self.next()
+        if k == "comma":
+            pk, _pt = self.next()
+            if pk != "quoted":
+                raise ValueError("timestamp() pattern must be quoted")
+            # explicit pattern: the 36-pattern table is tried in order
+            # anyway; the pattern arg is accepted for grammar parity
+            k, tok = self.next()
+        if k != "rpar":
+            raise ValueError("expected ')' closing timestamp()")
+        return parse_kql_timestamp(ts_str)
+
     def condition(self) -> Column:
         kind, path = self.next()
         if kind not in ("word", "quoted"):
-            raise ValueError(f"expected a field name, got {path!r}")
+            raise ValueError(f"expected a field name or value, got {path!r}")
         if kind == "quoted":
+            raw = path
             path = path[1:-1]
-        okind, op = self.next()
+        else:
+            raw = path
+        okind, op = self.peek()
         if okind != "op":
-            raise ValueError(f"expected an operator after {path!r}")
+            # bare value_expression: matches ANY column (kql.cpp:289-296)
+            self.prunable = False  # '*' column gives no schema pruning
+            return self._any_column_eq(_parse_value(kind, raw))
+        self.next()
+        if op == ":":
+            vkind, vtok = self.peek()
+            if vkind == "lbrace":
+                return self._nested_query(path)
+            if vkind == "lpar":
+                return self._list_of_values(path)
+            if vkind == "word" and vtok.lower() == "timestamp" and self.peek(1)[0] == "lpar":
+                self.next()
+                return self._pred(path, "eq", self._timestamp_value())
+            vkind, vtok = self.next()
+            if vkind not in ("word", "quoted"):
+                raise ValueError(f"expected a value for {path!r}")
+            if vkind == "word" and vtok == "*":
+                return self._pred(path, "exists", None)
+            return self._pred(path, "eq", _parse_value(vkind, vtok))
+        # range operator
+        cmp_op = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}[op]
         vkind, vtok = self.next()
+        if vkind == "word" and vtok.lower() == "timestamp" and self.peek()[0] == "lpar":
+            return self._pred(path, cmp_op, self._timestamp_value())
         if vkind not in ("word", "quoted"):
             raise ValueError(f"expected a value for {path!r}")
-        if op == ":":
-            if vkind == "word" and vtok == "*":
-                pred, nodes = json_predicate(self.archive, path, "exists")
+        val = _parse_value(vkind, vtok)
+        if not isinstance(val, (int, float)) or isinstance(val, bool):
+            raise ValueError("range comparison needs a numeric literal")
+        return self._pred(path, cmp_op, val)
+
+    def _nested_query(self, col: str) -> Column:
+        """col: { q } — every column inside q resolves under col
+        (prepend_column, kql.cpp:211-218)."""
+        self.next()  # consume '{'
+        self.prefix.append(col)
+        try:
+            c = self.or_expr()
+        finally:
+            self.prefix.pop()
+        k, _ = self.next()
+        if k != "rbrace":
+            raise ValueError("expected '}' closing nested query")
+        return c
+
+    def _list_of_values(self, path: str) -> Column:
+        """col: (v1 v2 ...) — default OR of EQ; (and ...) AND; (not ...)
+        AND of inverted EQ (kql.cpp:298-328). An OR list keeps schema
+        prunability: every branch references the same column, so a match
+        must contain one of that path's nodes."""
+        self.next()  # consume '('
+        mode = "or"
+        if _is_kw(self.peek(), "and", "or", "not") and self.peek(1) != (None, None):
+            mode = self.next()[1].lower()
+        preds: list[Column] = []
+        while self.peek()[0] in ("word", "quoted"):
+            vk, vt = self.next()
+            if vk == "word" and vt.lower() == "timestamp" and self.peek()[0] == "lpar":
+                val = self._timestamp_value()
             else:
-                pred, nodes = json_predicate(
-                    self.archive, path, "eq", _parse_value(vkind, vtok)
-                )
-        else:
-            cmp_op = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}[op]
-            val = _parse_value(vkind, vtok)
-            if not isinstance(val, (int, float)) or isinstance(val, bool):
-                raise ValueError("range comparison needs a numeric literal")
-            pred, nodes = json_predicate(self.archive, path, cmp_op, val)
-        self.prune_nodes += nodes
+                val = _parse_value(vk, vt)
+            preds.append(self._pred(path, "eq", val))
+        k, _ = self.next()
+        if k != "rpar":
+            raise ValueError("expected ')' closing value list")
+        if not preds:
+            return F.lit(False)
+        if mode == "not":
+            self.prunable = False
+            out = ~preds[0]
+            for p in preds[1:]:
+                out = out & ~p
+            return out
+        out = preds[0]
+        for p in preds[1:]:
+            out = (out & p) if mode == "and" else (out | p)
+        return out
+
+    def _any_column_eq(self, value) -> Column:
+        pred, _ = json_predicate(self.archive, "*", "eq", value)
         return pred
 
 

@@ -42,19 +42,95 @@ from clp_spark.search.wildcard import wildcard_to_regex
 _CMP = {"lt": "<", "gt": ">", "lte": "<=", "gte": ">=", "eq": "="}
 
 
+# a wildcard column that matches more tree nodes than this cannot build
+# a bounded membership predicate — fail loudly rather than truncate
+_MAX_WILDCARD_NODES = 100_000
+
+
+def _path_matcher(pattern: str):
+    """Column-descriptor wildcard matcher: '*' alone matches every
+    column; otherwise tokens match level-by-level ('a.*.c' — a '*' or
+    '?' never crosses a '.', mirroring the reference's per-descriptor
+    token matching)."""
+    if pattern == "*":
+        return lambda p: True
+    toks = pattern.split(".")
+    rxs = [wildcard_to_regex(t) for t in toks]
+    n = len(toks)
+
+    def match(p: str) -> bool:
+        pp = p.split(".")
+        return len(pp) == n and all(
+            r.fullmatch(x) is not None for r, x in zip(rxs, pp)
+        )
+
+    return match
+
+
 def _nodes_for_path(archive: JsonArchive, path: str, tags=None) -> list[int]:
+    wild = path == "*" or _has_wildcard(path)
     if archive.node_map is not None:
+        if not wild:
+            return sorted(
+                nid
+                for (p, t), nid in archive.node_map.items()
+                if p == path and (tags is None or t in tags)
+            )
+        match = _path_matcher(path)
         return sorted(
             nid
             for (p, t), nid in archive.node_map.items()
-            if p == path and (tags is None or t in tags)
+            if match(p) and (tags is None or t in tags)
         )
     # huge-tree fallback (distributed archive build left node_map=None):
-    # the per-path match set is small even when the tree is not
-    cond = F.col("path") == path
+    # the match runs INSIDE the scan (exact equality or a level-bounded
+    # Java regex), so only matching nodes are collected
+    if not wild:
+        cond = F.col("path") == path
+    elif path == "*":
+        cond = F.lit(True)
+    else:
+        cond = F.col("path").rlike(_path_java_regex(path))
     if tags is not None:
         cond = cond & F.col("tag").isin(sorted(tags))
-    return sorted(r["node_id"] for r in archive.tree.filter(cond).collect())
+    rows = (
+        archive.tree.filter(cond)
+        .select("node_id")
+        .limit(_MAX_WILDCARD_NODES + 1)
+        .collect()
+    )
+    if len(rows) > _MAX_WILDCARD_NODES:
+        raise ValueError(
+            f"wildcard column {path!r} matches more than "
+            f"{_MAX_WILDCARD_NODES} tree nodes"
+        )
+    return sorted(r["node_id"] for r in rows)
+
+
+def _path_java_regex(pattern: str) -> str:
+    """Anchored Java regex for a column-descriptor wildcard: '*'→[^.]*
+    and '?'→[^.] (never crossing a level), other chars escaped."""
+    import re as _re
+
+    parts = []
+    for tok in pattern.split("."):
+        buf = []
+        i = 0
+        while i < len(tok):
+            ch = tok[i]
+            if ch == "\\" and i + 1 < len(tok):
+                buf.append(_re.escape(tok[i + 1]))
+                i += 2
+                continue
+            if ch == "*":
+                buf.append("[^.]*")
+            elif ch == "?":
+                buf.append("[^.]")
+            else:
+                buf.append(_re.escape(ch))
+            i += 1
+        parts.append("".join(buf))
+    return "\\A" + "\\.".join(parts) + "\\z"
 
 
 # above this many candidate schema ids, skip schema pruning (the isin

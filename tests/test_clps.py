@@ -187,3 +187,71 @@ class TestDistributedBuild:
         }
         for rec in RECORDS:
             assert out[rec["id"]] == rec, rec["id"]
+
+
+class TestKqlLongTail:
+    """Reference-grammar long tail: nested-object subqueries, value
+    lists, timestamp expressions, bare values, wildcard columns
+    (Kql.g4:5-42, kql.cpp:211-330; e2e query style from
+    test-clp_s-search.cpp:205-258)."""
+
+    def test_nested_query(self, archive):
+        from clp_spark.clps import kql_query
+
+        assert _ids(kql_query(archive, 'ctx: {host: "node-3"}')) == [1]
+        assert _ids(
+            kql_query(archive, "ctx: {host: node-7 AND retries: 0}")
+        ) == [4]
+        assert _ids(kql_query(archive, "nested: {deep: {x: \"y z\"}}")) == [6]
+
+    def test_value_lists(self, archive):
+        from clp_spark.clps import kql_query
+
+        assert _ids(kql_query(archive, "level: (INFO WARN)")) == [0, 2, 3, 4]
+        assert _ids(kql_query(archive, "level: (or INFO WARN)")) == [0, 2, 3, 4]
+        assert _ids(kql_query(archive, "level: (not INFO ERROR)")) == [3, 6]
+        assert _ids(kql_query(archive, "k: (42 99)")) == [0, 3, 5]
+
+    def test_bare_value_matches_any_column(self, archive):
+        from clp_spark.clps import kql_query
+
+        assert _ids(kql_query(archive, "42")) == [0, 3]
+        assert _ids(kql_query(archive, "WARN")) == [3]
+        assert _ids(kql_query(archive, '"node-7"')) == [4]
+
+    def test_wildcard_columns(self, archive):
+        from clp_spark.clps import kql_query
+
+        assert _ids(kql_query(archive, "ctx.*: 2")) == [1]
+        assert _ids(kql_query(archive, '*.host: "node-7"')) == [4]
+        assert _ids(kql_query(archive, "ctx.h?st: *")) == [1, 4]
+
+    def test_timestamp_expression(self, spark):
+        from clp_spark.clps import encode_json_df, kql_query
+        from clp_spark.clps.kql import parse_kql_timestamp
+
+        base = parse_kql_timestamp("2024-01-05 00:00:00")
+        recs = [
+            {"id": 0, "ts": base - 1000},
+            {"id": 1, "ts": base},
+            {"id": 2, "ts": base + 60_000},
+        ]
+        df = spark.createDataFrame(
+            [(r["id"], json.dumps(r)) for r in recs], "rid long, json string"
+        )
+        a = encode_json_df(df, "json", passthrough=["rid"])
+        assert _ids(kql_query(a, 'ts >= timestamp("2024-01-05 00:00:00")')) == [1, 2]
+        assert _ids(kql_query(a, 'ts: timestamp("2024-01-05 00:00:00")')) == [1]
+        assert _ids(kql_query(a, 'ts < timestamp("2024-01-05 00:00:00")')) == [0]
+
+    def test_wildcard_on_distributed_archive(self, spark):
+        # the DF-fallback node lookup (node_map=None) must honour
+        # level-bounded wildcards via the pushed Java regex
+        from clp_spark.clps import kql_query
+
+        df = spark.createDataFrame(
+            [(r["id"], json.dumps(r)) for r in RECORDS], "rid long, json string"
+        )
+        a = encode_json_df(df, "json", passthrough=["rid"], driver_dict_cap=1)
+        assert _ids(kql_query(a, "ctx.*: 2")) == [1]
+        assert _ids(kql_query(a, '*.host: "node-7"')) == [4]

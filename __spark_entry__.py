@@ -135,6 +135,37 @@ def _events_json_archive(spark, sf):
     return _CORPUS_CACHE[key]
 
 
+def _events_json_sarchive(spark, sf):
+    """Structurized-array variant (JsonParser.cpp parse_array analog):
+    records carry a scalar array and an array of objects, encoded with
+    structurize_arrays=True so KQL filters reach inside them."""
+    key = ("json_sarch", id(spark), sf)
+    if key not in _CORPUS_CACHE:
+        from clp_spark.clps import encode_json_df
+
+        ev = _read(spark, sf, "events")
+        j = ev.select(
+            "event_id",
+            F.to_json(
+                F.struct(
+                    F.col("event_type").alias("type"),
+                    F.array(
+                        (F.col("user_id") % 5), (F.col("event_id") % 7)
+                    ).alias("arr"),
+                    F.array(
+                        F.struct((F.col("user_id") % 3).alias("n"))
+                    ).alias("objs"),
+                )
+            ).alias("json"),
+        )
+        arch = encode_json_df(
+            j, "json", passthrough=["event_id"], structurize_arrays=True
+        )
+        arch.encoded = arch.encoded.persist()
+        _CORPUS_CACHE[key] = arch
+    return _CORPUS_CACHE[key]
+
+
 def warm_archives(spark: SparkSession, sf_dir: str) -> None:
     """Build every per-session encoded archive the queries share (CLP's
     model is compress-once / search-many). bench.py times THIS as the
@@ -320,10 +351,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         arch = _events_json_archive(spark, sf)
         return kql_query(arch, '"purchase"').select("event_id")
 
+    def clp_json_array_filter(spark, sf):
+        # structurized arrays: element-level predicate inside an array
+        # plus an object-in-array field (SchemaTree.hpp:43
+        # StructuredArray; JsonParser.cpp:336-476)
+        from clp_spark.clps import kql_query
+
+        arch = _events_json_sarchive(spark, sf)
+        return kql_query(arch, "arr: 3 AND objs.n: 1").select("event_id")
+
     q["clp_grep"] = clp_grep
     q["clp_kql_query"] = clp_kql_query
     q["clp_kql_list_nested"] = clp_kql_list_nested
     q["clp_kql_bare_value"] = clp_kql_bare_value
+    q["clp_json_array_filter"] = clp_json_array_filter
     q["clp_json_typed_filter"] = clp_json_typed_filter
     q["clp_json_clpstring_eq"] = clp_json_clpstring_eq
     q["clp_json_roundtrip"] = clp_json_roundtrip
@@ -670,6 +711,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "clp_kql_bare_value": """
             SELECT event_id FROM events WHERE event_type = 'purchase'
+        """,
+        "clp_json_array_filter": """
+            SELECT event_id FROM events
+            WHERE (user_id % 5 = 3 OR event_id % 7 = 3)
+              AND user_id % 3 = 1
         """,
         "clp_json_typed_filter": """
             SELECT event_id FROM events

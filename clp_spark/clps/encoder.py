@@ -58,6 +58,16 @@ NODE_VARSTR = 4
 NODE_CLPSTR = 5
 NODE_ARRAY = 6
 NODE_BIGNUM = 7  # integer outside int64 — value kept as decimal string
+# structurize_arrays=True (SchemaTree.hpp:43 StructuredArray,
+# JsonParser.cpp:336-476 parse_array): array elements become typed
+# leaves at the ARRAY'S OWN PATH (object elements' fields at path.key),
+# bracketed by marker leaves so document order reconstructs exactly.
+# KQL filters then reach inside arrays: `a: 3` matches [1, 3] at a.
+NODE_ARRSTART = 8
+NODE_ARREND = 9
+NODE_OBJSTART = 10
+NODE_OBJEND = 11
+_MARKER_TAGS = (NODE_ARRSTART, NODE_ARREND, NODE_OBJSTART, NODE_OBJEND)
 
 _INT64_MIN, _INT64_MAX = -(2**63), 2**63 - 1
 
@@ -77,14 +87,17 @@ def _bits2f(b: int) -> float:
     return _struct.unpack("<d", _struct.pack("<q", b))[0]
 
 
-def _walk(obj, path: str, out: list) -> None:
+def _walk(obj, path: str, out: list, structurize: bool = False) -> None:
     """Flatten one parsed JSON record into typed leaves, document order.
 
-    Type split per JsonParser.cpp:253-311; arrays are kept whole
-    (UnstructuredArray) as their canonical JSON text."""
+    Type split per JsonParser.cpp:253-311. Arrays: kept whole
+    (UnstructuredArray) as canonical JSON text by default, or — with
+    structurize=True — element-typed leaves between ARRSTART/ARREND
+    markers (OBJSTART/OBJEND bracket object elements), mirroring the
+    reference's --structurize-arrays schema-tree expansion."""
     if isinstance(obj, dict):
         for k, v in obj.items():
-            _walk(v, f"{path}.{k}" if path else k, out)
+            _walk(v, f"{path}.{k}" if path else k, out, structurize)
         return
     if isinstance(obj, bool):
         out.append((path, NODE_BOOL, 1 if obj else 0, None, None))
@@ -104,14 +117,31 @@ def _walk(obj, path: str, out: list) -> None:
     elif obj is None:
         out.append((path, NODE_NULL, 0, None, None))
     elif isinstance(obj, list):
-        out.append(
-            (path, NODE_ARRAY, 0, json.dumps(obj, separators=(",", ":")), None)
-        )
+        if not structurize:
+            out.append(
+                (path, NODE_ARRAY, 0, json.dumps(obj, separators=(",", ":")), None)
+            )
+            return
+        out.append((path, NODE_ARRSTART, 0, None, None))
+        for el in obj:
+            if isinstance(el, dict):
+                out.append((path, NODE_OBJSTART, 0, None, None))
+                for k, v in el.items():
+                    _walk(v, f"{path}.{k}" if path else k, out, structurize)
+                out.append((path, NODE_OBJEND, 0, None, None))
+            else:
+                _walk(el, path, out, structurize)
+        out.append((path, NODE_ARREND, 0, None, None))
     else:  # pragma: no cover
         raise TypeError(f"unsupported JSON value: {type(obj)}")
 
 
-def _parse_records(df: DataFrame, json_col: str, passthrough: list[str]) -> DataFrame:
+def _parse_records(
+    df: DataFrame,
+    json_col: str,
+    passthrough: list[str],
+    structurize: bool = False,
+) -> DataFrame:
     """Arrow pass 1: JSON text → typed leaves (+ ClpString tokenization)."""
     fields = []
     for part in _LEAF_SCHEMA.split(", "):
@@ -128,7 +158,7 @@ def _parse_records(df: DataFrame, json_col: str, passthrough: list[str]) -> Data
             leaves_col = []
             for s in pdf[json_col]:
                 rec: list = []
-                _walk(json.loads(s), "", rec)
+                _walk(json.loads(s), "", rec, structurize)
                 rows = []
                 for path, tag, ival, sval, clp in rec:
                     if clp is None:
@@ -216,19 +246,27 @@ def encode_json_df(
     json_col: str = "json",
     passthrough: list[str] | None = None,
     driver_dict_cap: int = 300_000,
+    structurize_arrays: bool = False,
 ) -> JsonArchive:
     """Compress a JSON-string column clp_s-style. Returns a JsonArchive.
 
     Dispatch: driver-map fast path while every dictionary fits
     `driver_dict_cap`; any overflow (tree, logtype dict, var dict, or
     schema set) switches to the fully distributed build — same IDs, no
-    hard stop at any cardinality."""
+    hard stop at any cardinality.
+
+    structurize_arrays mirrors the reference option (JsonParser.cpp:476,
+    e2e-parameterized in test-clp_s-search.cpp): array elements get
+    typed nodes at the array's path, so KQL filters reach inside
+    arrays; reconstruction stays exact via document-order markers."""
     spark = df.sparkSession
     if passthrough is None:
         passthrough = [c for c in df.columns if c != json_col]
     # localCheckpoint: materialized once for the (up to 5) passes below;
     # storage reclaimed when the archive's plans are GC'd (no persist pin)
-    parsed = _parse_records(df, json_col, passthrough).localCheckpoint(eager=False)
+    parsed = _parse_records(
+        df, json_col, passthrough, structurize_arrays
+    ).localCheckpoint(eager=False)
 
     ex = parsed.select(F.explode("leaves").alias("l"))
 
@@ -405,16 +443,19 @@ def _encode_json_distributed(
     )
 
     # ---- merged parse tree: (key, tag) sorts as key||'\0'||tag — tag is
-    # a single digit, so the trailing 2 chars decode unambiguously even
-    # if a key contained '\0'; the sort order equals the driver path's
+    # zero-padded to 2 digits (tags 0..11) so the trailing 3 chars decode
+    # unambiguously even if a key contained '\0' AND string order equals
+    # numeric tag order; the sort equals the driver path's
     # sorted((key, tag)) because UTF-8 byte order == code-point order
-    nk = F.expr("concat(key, chr(0), cast(tag as string))").alias("_nk")
+    nk = F.expr("concat(key, chr(0), lpad(cast(tag as string), 2, '0'))").alias(
+        "_nk"
+    )
     tree = assign_stable_ids(
         leaves.select(nk).distinct(), "_nk", "node_id"
     ).select(
         "node_id",
-        F.expr("substring(_nk, 1, length(_nk)-2)").alias("path"),
-        F.expr("cast(substring(_nk, length(_nk), 1) as int)").alias("tag"),
+        F.expr("substring(_nk, 1, length(_nk)-3)").alias("path"),
+        F.expr("cast(substring(_nk, length(_nk)-1, 2) as int)").alias("tag"),
     )
 
     # ---- dictionaries (value-sorted rank IDs, fully distributed)
@@ -609,7 +650,7 @@ def reconstruct_json_df(
         for pdf in batches:
             texts = []
             for jv in pdf["jvals"]:
-                root: dict = {}
+                leaves = []
                 for x in jv:
                     path, tag = nodes[x["node"]]
                     enc = int(x["enc"])
@@ -627,22 +668,61 @@ def reconstruct_json_df(
                         val = int(vs[enc])
                     elif tag == NODE_ARRAY:
                         val = json.loads(vs[enc])
+                    elif tag in _MARKER_TAGS:
+                        val = None
                     else:  # CLPSTR
                         tpl = tcache.get(enc)
                         if tpl is None:
                             tpl = tcache[enc] = parse_template(lts[enc])
                         val = _fill_template(tpl[0], tpl[1], list(x["vars"]), vs)
-                    cur = root
-                    parts = path.split(".")
-                    for p in parts[:-1]:
-                        cur = cur.setdefault(p, {})
-                    cur[parts[-1]] = val
-                texts.append(json.dumps(root, separators=(",", ":")))
+                    leaves.append((path, tag, val))
+                texts.append(
+                    json.dumps(_assemble_record(leaves), separators=(",", ":"))
+                )
             pdf = pdf.copy()
             pdf[out_col] = texts
             yield pdf
 
     return archive.encoded.mapInPandas(run, schema=out_schema)
+
+
+def _assemble_record(leaves) -> dict:
+    """Document-ordered (path, tag, value) leaves → nested record.
+
+    A tiny stack machine: ARRSTART/ARREND open/close a list attached at
+    the marker's path, OBJSTART/OBJEND bracket an object element inside
+    the enclosing list; scalar leaves attach to the top container at
+    their path relative to the container's base path. With no markers
+    (structurize_arrays=False) this degenerates to plain nested-dict
+    assembly."""
+    root: dict = {}
+    stack: list = [(root, "")]
+
+    def attach(val, path):
+        top, base = stack[-1]
+        if isinstance(top, list):
+            return top.append(val)  # array element at the array's path
+        rel = path[len(base):].lstrip(".") if base else path
+        parts = rel.split(".")
+        cur = top
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = val
+
+    for path, tag, val in leaves:
+        if tag == NODE_ARRSTART:
+            lst: list = []
+            attach(lst, path)
+            stack.append((lst, path))
+        elif tag == NODE_OBJSTART:
+            d: dict = {}
+            stack[-1][0].append(d)
+            stack.append((d, path))
+        elif tag in (NODE_ARREND, NODE_OBJEND):
+            stack.pop()
+        else:
+            attach(val, path)
+    return root
 
 
 def _reconstruct_joined(archive: JsonArchive, out_col: str) -> DataFrame:
@@ -682,7 +762,7 @@ def _reconstruct_joined(archive: JsonArchive, out_col: str) -> DataFrame:
     null_s = F.lit(None).cast("string")
     null_arr = F.lit(None).cast("array<string>")
     simple = lx.filter(
-        F.col("tag").isin([NODE_INT, NODE_FLOAT, NODE_BOOL, NODE_NULL])
+        ~F.col("tag").isin([NODE_VARSTR, NODE_CLPSTR, NODE_ARRAY, NODE_BIGNUM])
     ).select(
         "_rid", "pos", "path", "tag", "enc",
         null_s.alias("sval"), null_s.alias("tpl"), null_arr.alias("dvals"),
@@ -778,47 +858,46 @@ def _reconstruct_joined(archive: JsonArchive, out_col: str) -> DataFrame:
         for pdf in batches:
             texts = []
             for leaves in pdf["_leaves"]:
-                root: dict = {}
-                if leaves is not None:
-                    for lf in leaves:
-                        tag = lf["tag"]
-                        e = int(lf["enc"])
-                        if tag == NODE_INT:
-                            val = e
-                        elif tag == NODE_FLOAT:
-                            val = _bits2f(e)
-                        elif tag == NODE_BOOL:
-                            val = bool(e)
-                        elif tag == NODE_NULL:
-                            val = None
-                        elif tag == NODE_VARSTR:
-                            val = lf["sval"]
-                        elif tag == NODE_BIGNUM:
-                            val = int(lf["sval"])
-                        elif tag == NODE_ARRAY:
-                            val = json.loads(lf["sval"])
-                        else:  # CLPSTR
-                            tpl_s = lf["tpl"]
-                            tpl = tcache.get(tpl_s)
-                            if tpl is None:
-                                tpl = tcache[tpl_s] = parse_template(tpl_s)
-                            parts, ks = tpl
-                            outp = [parts[0]]
-                            for i, k in enumerate(ks):
-                                if k == PLACEHOLDER_INT:
-                                    outp.append(str(int(lf["vars"][i])))
-                                elif k == PLACEHOLDER_FLOAT:
-                                    outp.append(decode_float(int(lf["vars"][i])))
-                                else:
-                                    outp.append(lf["dvals"][i])
-                                outp.append(parts[i + 1])
-                            val = "".join(outp)
-                        cur = root
-                        parts_p = lf["path"].split(".")
-                        for p_ in parts_p[:-1]:
-                            cur = cur.setdefault(p_, {})
-                        cur[parts_p[-1]] = val
-                texts.append(json.dumps(root, separators=(",", ":")))
+                decoded = []
+                for lf in leaves if leaves is not None else ():
+                    tag = lf["tag"]
+                    e = int(lf["enc"])
+                    if tag == NODE_INT:
+                        val = e
+                    elif tag == NODE_FLOAT:
+                        val = _bits2f(e)
+                    elif tag == NODE_BOOL:
+                        val = bool(e)
+                    elif tag == NODE_NULL:
+                        val = None
+                    elif tag == NODE_VARSTR:
+                        val = lf["sval"]
+                    elif tag == NODE_BIGNUM:
+                        val = int(lf["sval"])
+                    elif tag == NODE_ARRAY:
+                        val = json.loads(lf["sval"])
+                    elif tag in _MARKER_TAGS:
+                        val = None
+                    else:  # CLPSTR
+                        tpl_s = lf["tpl"]
+                        tpl = tcache.get(tpl_s)
+                        if tpl is None:
+                            tpl = tcache[tpl_s] = parse_template(tpl_s)
+                        parts, ks = tpl
+                        outp = [parts[0]]
+                        for i, k in enumerate(ks):
+                            if k == PLACEHOLDER_INT:
+                                outp.append(str(int(lf["vars"][i])))
+                            elif k == PLACEHOLDER_FLOAT:
+                                outp.append(decode_float(int(lf["vars"][i])))
+                            else:
+                                outp.append(lf["dvals"][i])
+                            outp.append(parts[i + 1])
+                        val = "".join(outp)
+                    decoded.append((lf["path"], tag, val))
+                texts.append(
+                    json.dumps(_assemble_record(decoded), separators=(",", ":"))
+                )
             res = pdf[cols].copy()
             res[out_col] = texts
             yield res

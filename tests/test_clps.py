@@ -255,3 +255,65 @@ class TestKqlLongTail:
         a = encode_json_df(df, "json", passthrough=["rid"], driver_dict_cap=1)
         assert _ids(kql_query(a, "ctx.*: 2")) == [1]
         assert _ids(kql_query(a, '*.host: "node-7"')) == [4]
+
+
+class TestStructurizedArrays:
+    """structurize_arrays=True: array elements become typed nodes at the
+    array's path (JsonParser.cpp:336-476 parse_array; NodeType::
+    StructuredArray, SchemaTree.hpp:43), so KQL filters reach inside
+    arrays and reconstruction stays exact via document-order markers."""
+
+    SRECORDS = [
+        {"id": 0, "tags": ["a", "b"], "xs": [1, 2, 3]},
+        {"id": 1, "tags": [], "objs": [{"h": "n1", "n": 5}, {"h": "n2", "n": 7}]},
+        {"id": 2, "nested": [[1, 2], [3]], "mix": [1, "x", None, 2.5, True]},
+        {"id": 3, "tags": ["b"], "objs": [{"h": "n1", "deep": {"q": [9]}}]},
+        {"id": 4, "plain": 1},
+    ]
+
+    @pytest.fixture(scope="class", params=[300_000, 1])
+    def sarchive(self, spark, request):
+        # param: driver-map fast path vs forced distributed build
+        df = spark.createDataFrame(
+            [(r["id"], json.dumps(r)) for r in self.SRECORDS],
+            "rid long, json string",
+        )
+        a = encode_json_df(
+            df, "json", passthrough=["rid"],
+            driver_dict_cap=request.param, structurize_arrays=True,
+        )
+        a.encoded = a.encoded.persist()
+        a.encoded.count()
+        return a
+
+    def test_roundtrip_exact(self, sarchive):
+        out = {
+            r["rid"]: json.loads(r["json"])
+            for r in reconstruct_json_df(sarchive).select("rid", "json").collect()
+        }
+        for rec in self.SRECORDS:
+            assert out[rec["id"]] == rec, rec["id"]
+
+    def test_filter_inside_arrays(self, sarchive):
+        from clp_spark.clps import kql_query
+
+        # scalar element match at the array's own path
+        assert _ids(kql_query(sarchive, "tags: b")) == [0, 3]
+        assert _ids(kql_query(sarchive, "xs: 2")) == [0]
+        assert _ids(kql_query(sarchive, "xs > 2")) == [0]
+        # object-element fields at path.key
+        assert _ids(kql_query(sarchive, 'objs: {h: "n1"}')) == [1, 3]
+        assert _ids(kql_query(sarchive, "objs.n: 7")) == [1]
+        # deep: array inside object inside array element
+        assert _ids(kql_query(sarchive, "objs.deep.q: 9")) == [3]
+        # mixed-type elements
+        assert _ids(kql_query(sarchive, "mix: 2.5")) == [2]
+        assert _ids(kql_query(sarchive, 'mix: "x"')) == [2]
+        # nested arrays share the path
+        assert _ids(kql_query(sarchive, "nested: 3")) == [2]
+        # misses prune to empty
+        assert _ids(kql_query(sarchive, "tags: zz")) == []
+
+    def test_exists_on_array_path(self, sarchive):
+        assert _ids(json_filter(sarchive, "tags", "exists")) == [0, 1, 3]
+        assert _ids(json_filter(sarchive, "objs.h", "exists")) == [1, 3]

@@ -68,6 +68,12 @@ NODE_ARREND = 9
 NODE_OBJSTART = 10
 NODE_OBJEND = 11
 _MARKER_TAGS = (NODE_ARRSTART, NODE_ARREND, NODE_OBJSTART, NODE_OBJEND)
+# float whose source text is NOT the canonical shortest round-trip form
+# ("1.50", "1e5") — the numeric order key lives in enc (ranges work) and
+# the exact source text in the var dictionary via vars[0] (the
+# reference's FormattedFloat/DictionaryFloat split: ColumnWriter.hpp:
+# 69-125, FloatFormatEncoding.*)
+NODE_FMTFLOAT = 12
 
 _INT64_MIN, _INT64_MAX = -(2**63), 2**63 - 1
 
@@ -85,6 +91,55 @@ def _f2bits(v: float) -> int:
 
 def _bits2f(b: int) -> float:
     return _struct.unpack("<d", _struct.pack("<q", b))[0]
+
+
+_F_MASK = 0x7FFFFFFFFFFFFFFF
+
+
+def float_order_key(v: float) -> int:
+    """Order-preserving int64 key for a double: identity for b ≥ 0,
+    b ^ 0x7fff.. for negatives (reverses their bit order). int64
+    comparisons on the key equal double comparisons, so float range
+    predicates run as plain long compares inside codegen."""
+    b = _f2bits(v)
+    return b ^ _F_MASK if b < 0 else b
+
+
+def _unkey_float(k: int) -> float:
+    return _bits2f(k ^ _F_MASK if k < 0 else k)
+
+
+class _RawFloat(float):
+    """float that remembers its exact source text (json.loads
+    parse_float hook) so non-canonical forms round-trip byte-exactly."""
+
+    __slots__ = ("raw",)
+
+    def __new__(cls, s: str):
+        r = super().__new__(cls, s)
+        r.raw = s
+        return r
+
+
+class _Raw(str):
+    """Pre-serialized JSON text spliced verbatim by _dumps."""
+
+
+def _dumps(o) -> str:
+    """Canonical compact JSON serializer (== json.dumps(separators=
+    (',', ':'))) that additionally splices _Raw values verbatim — how a
+    FormattedFloat's exact source text survives re-serialization."""
+    if isinstance(o, _Raw):
+        return str(o)
+    if isinstance(o, dict):
+        return (
+            "{"
+            + ",".join(f"{json.dumps(k)}:{_dumps(v)}" for k, v in o.items())
+            + "}"
+        )
+    if isinstance(o, list):
+        return "[" + ",".join(_dumps(v) for v in o) + "]"
+    return json.dumps(o)
 
 
 def _walk(obj, path: str, out: list, structurize: bool = False) -> None:
@@ -107,7 +162,13 @@ def _walk(obj, path: str, out: list, structurize: bool = False) -> None:
         else:
             out.append((path, NODE_BIGNUM, 0, str(obj), None))
     elif isinstance(obj, float):
-        out.append((path, NODE_FLOAT, _f2bits(obj), None, None))
+        okey = float_order_key(obj)
+        raw = getattr(obj, "raw", None)
+        if raw is not None and raw != json.dumps(float(obj)):
+            # non-canonical source text → DictionaryFloat analog
+            out.append((path, NODE_FMTFLOAT, okey, raw, None))
+        else:
+            out.append((path, NODE_FLOAT, okey, None, None))
     elif isinstance(obj, str):
         if " " in obj:
             lt, vs, vt, ev = parse_one(obj)
@@ -158,7 +219,7 @@ def _parse_records(
             leaves_col = []
             for s in pdf[json_col]:
                 rec: list = []
-                _walk(json.loads(s), "", rec, structurize)
+                _walk(json.loads(s, parse_float=_RawFloat), "", rec, structurize)
                 rows = []
                 for path, tag, ival, sval, clp in rec:
                     if clp is None:
@@ -297,7 +358,7 @@ def encode_json_df(
         .collect()
     )
     var_whole = ex.filter(
-        F.col("l.tag").isin([NODE_VARSTR, NODE_ARRAY, NODE_BIGNUM])
+        F.col("l.tag").isin([NODE_VARSTR, NODE_ARRAY, NODE_BIGNUM, NODE_FMTFLOAT])
     ).select(F.col("l.sval").alias("value"))
     var_clp = (
         ex.filter(F.col("l.tag") == NODE_CLPSTR)
@@ -383,6 +444,9 @@ def encode_json_df(
                         jv.append((node, ltm[lf["logtype"]], enc_vars))
                     elif tag in (NODE_VARSTR, NODE_ARRAY, NODE_BIGNUM):
                         jv.append((node, vm[lf["sval"]], None))
+                    elif tag == NODE_FMTFLOAT:
+                        # numeric order key in enc, source text via vars[0]
+                        jv.append((node, int(lf["ival"]), [vm[lf["sval"]]]))
                     else:
                         jv.append((node, int(lf["ival"]), None))
                 ids = tuple(sorted(present))
@@ -465,7 +529,7 @@ def _encode_json_distributed(
         "logtype_id",
     )
     var_whole = leaves.filter(
-        F.col("tag").isin([NODE_VARSTR, NODE_ARRAY, NODE_BIGNUM])
+        F.col("tag").isin([NODE_VARSTR, NODE_ARRAY, NODE_BIGNUM, NODE_FMTFLOAT])
     ).select(F.col("sval").alias("value"))
     var_clp = (
         leaves.filter(F.col("tag") == NODE_CLPSTR)
@@ -477,11 +541,13 @@ def _encode_json_distributed(
         var_whole.union(var_clp).distinct(), "value", "var_id"
     )
 
-    # ---- per-leaf encode: three branch frames (no null-keyed joins)
+    # ---- per-leaf encode: four branch frames (no null-keyed joins)
     tree_kv = tree.select(F.col("path").alias("key"), "tag", "node_id")
     wnode = leaves.join(tree_kv, ["key", "tag"])
     simple = wnode.filter(
-        ~F.col("tag").isin([NODE_CLPSTR, NODE_VARSTR, NODE_ARRAY, NODE_BIGNUM])
+        ~F.col("tag").isin(
+            [NODE_CLPSTR, NODE_VARSTR, NODE_ARRAY, NODE_BIGNUM, NODE_FMTFLOAT]
+        )
     ).select(
         "_rid",
         "pos",
@@ -498,6 +564,17 @@ def _encode_json_distributed(
             F.col("node_id").alias("node"),
             F.col("var_id").alias("enc"),
             F.lit(None).cast("array<long>").alias("vars"),
+        )
+    )
+    fmtf = (
+        wnode.filter(F.col("tag") == NODE_FMTFLOAT)
+        .join(var_dict.select(F.col("value").alias("sval"), "var_id"), "sval")
+        .select(
+            "_rid",
+            "pos",
+            F.col("node_id").alias("node"),
+            F.col("ival").alias("enc"),
+            F.array(F.col("var_id")).alias("vars"),
         )
     )
     clp_leaves = wnode.filter(F.col("tag") == NODE_CLPSTR)
@@ -539,7 +616,7 @@ def _encode_json_distributed(
             ),
         )
     )
-    lv = simple.unionByName(vstr).unionByName(clp)
+    lv = simple.unionByName(vstr).unionByName(fmtf).unionByName(clp)
 
     # ---- regroup: document-order jvals + present-node set per record
     rows = (
@@ -657,7 +734,9 @@ def reconstruct_json_df(
                     if tag == NODE_INT:
                         val = enc
                     elif tag == NODE_FLOAT:
-                        val = _bits2f(enc)
+                        val = _unkey_float(enc)
+                    elif tag == NODE_FMTFLOAT:
+                        val = _Raw(vs[x["vars"][0]])
                     elif tag == NODE_BOOL:
                         val = bool(enc)
                     elif tag == NODE_NULL:
@@ -667,7 +746,7 @@ def reconstruct_json_df(
                     elif tag == NODE_BIGNUM:
                         val = int(vs[enc])
                     elif tag == NODE_ARRAY:
-                        val = json.loads(vs[enc])
+                        val = _Raw(vs[enc])  # canonical JSON text, verbatim
                     elif tag in _MARKER_TAGS:
                         val = None
                     else:  # CLPSTR
@@ -676,9 +755,7 @@ def reconstruct_json_df(
                             tpl = tcache[enc] = parse_template(lts[enc])
                         val = _fill_template(tpl[0], tpl[1], list(x["vars"]), vs)
                     leaves.append((path, tag, val))
-                texts.append(
-                    json.dumps(_assemble_record(leaves), separators=(",", ":"))
-                )
+                texts.append(_dumps(_assemble_record(leaves)))
             pdf = pdf.copy()
             pdf[out_col] = texts
             yield pdf
@@ -762,7 +839,9 @@ def _reconstruct_joined(archive: JsonArchive, out_col: str) -> DataFrame:
     null_s = F.lit(None).cast("string")
     null_arr = F.lit(None).cast("array<string>")
     simple = lx.filter(
-        ~F.col("tag").isin([NODE_VARSTR, NODE_CLPSTR, NODE_ARRAY, NODE_BIGNUM])
+        ~F.col("tag").isin(
+            [NODE_VARSTR, NODE_CLPSTR, NODE_ARRAY, NODE_BIGNUM, NODE_FMTFLOAT]
+        )
     ).select(
         "_rid", "pos", "path", "tag", "enc",
         null_s.alias("sval"), null_s.alias("tpl"), null_arr.alias("dvals"),
@@ -775,6 +854,20 @@ def _reconstruct_joined(archive: JsonArchive, out_col: str) -> DataFrame:
                 F.col("var_id").alias("enc"), F.col("value").alias("sval")
             ),
             "enc",
+        )
+        .select(
+            "_rid", "pos", "path", "tag", "enc",
+            "sval", null_s.alias("tpl"), null_arr.alias("dvals"), "vars",
+        )
+    )
+    fmtf = (
+        lx.filter(F.col("tag") == NODE_FMTFLOAT)
+        .withColumn("_vid", F.expr("vars[0]"))
+        .join(
+            archive.var_dict.select(
+                F.col("var_id").alias("_vid"), F.col("value").alias("sval")
+            ),
+            "_vid",
         )
         .select(
             "_rid", "pos", "path", "tag", "enc",
@@ -838,7 +931,7 @@ def _reconstruct_joined(archive: JsonArchive, out_col: str) -> DataFrame:
             "vars",
         )
     )
-    all_leaves = simple.unionByName(vstr).unionByName(clp)
+    all_leaves = simple.unionByName(vstr).unionByName(fmtf).unionByName(clp)
     rows = all_leaves.groupBy("_rid").agg(
         F.array_sort(
             F.collect_list(
@@ -865,7 +958,9 @@ def _reconstruct_joined(archive: JsonArchive, out_col: str) -> DataFrame:
                     if tag == NODE_INT:
                         val = e
                     elif tag == NODE_FLOAT:
-                        val = _bits2f(e)
+                        val = _unkey_float(e)
+                    elif tag == NODE_FMTFLOAT:
+                        val = _Raw(lf["sval"])
                     elif tag == NODE_BOOL:
                         val = bool(e)
                     elif tag == NODE_NULL:
@@ -875,7 +970,7 @@ def _reconstruct_joined(archive: JsonArchive, out_col: str) -> DataFrame:
                     elif tag == NODE_BIGNUM:
                         val = int(lf["sval"])
                     elif tag == NODE_ARRAY:
-                        val = json.loads(lf["sval"])
+                        val = _Raw(lf["sval"])
                     elif tag in _MARKER_TAGS:
                         val = None
                     else:  # CLPSTR
@@ -895,9 +990,7 @@ def _reconstruct_joined(archive: JsonArchive, out_col: str) -> DataFrame:
                             outp.append(parts[i + 1])
                         val = "".join(outp)
                     decoded.append((lf["path"], tag, val))
-                texts.append(
-                    json.dumps(_assemble_record(decoded), separators=(",", ":"))
-                )
+                texts.append(_dumps(_assemble_record(decoded)))
             res = pdf[cols].copy()
             res[out_col] = texts
             yield res

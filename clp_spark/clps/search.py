@@ -12,8 +12,8 @@ nodes are scanned.
 
 Ops: EQ NEQ LT GT LTE GTE EXISTS NEXISTS (FilterOperation.hpp:8-17).
 Numeric comparisons apply to Integer nodes (and exact-EQ to Boolean);
-Float ranges would need order-preserving decode of the bit-cast double
-and are out of scope v1 (EQ on an exact double works via bit equality).
+Float EQ *and* ranges run as long compares on the order-preserving key
+(encoder.float_order_key), covering Float and FormattedFloat nodes.
 String EQ resolves VarStrings through the var dictionary and ClpStrings
 through logtype+vars equality — encoding is injective, so no
 decode-confirm stage is needed for exact matches. A wildcard string
@@ -29,11 +29,12 @@ from clp_spark.clps.encoder import (
     NODE_BOOL,
     NODE_CLPSTR,
     NODE_FLOAT,
+    NODE_FMTFLOAT,
     NODE_INT,
     NODE_NULL,
     NODE_VARSTR,
     JsonArchive,
-    _f2bits,
+    float_order_key,
 )
 from clp_spark.config import VT_DICT
 from clp_spark.parse.tokenizer import parse_one
@@ -223,9 +224,14 @@ def json_predicate(
             preds.append(_exists_pred(nodes, f"x.enc {_CMP[op]} {int(value)}L"))
             all_nodes += nodes
     elif isinstance(value, float):
-        nodes = _nodes_for_path(archive, path, {NODE_FLOAT})
-        if nodes and op == "eq":
-            preds.append(_exists_pred(nodes, f"x.enc = {_f2bits(value)}L"))
+        # floats are stored as order-preserving int64 keys (encoder.py
+        # float_order_key), so EQ *and* ranges are plain long compares;
+        # FormattedFloat nodes carry the same key in enc
+        nodes = _nodes_for_path(archive, path, {NODE_FLOAT, NODE_FMTFLOAT})
+        if nodes:
+            preds.append(
+                _exists_pred(nodes, f"x.enc {_CMP[op]} {float_order_key(value)}L")
+            )
             all_nodes += nodes
     elif value is None:
         nodes = _nodes_for_path(archive, path, {NODE_NULL})

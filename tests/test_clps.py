@@ -317,3 +317,51 @@ class TestStructurizedArrays:
     def test_exists_on_array_path(self, sarchive):
         assert _ids(json_filter(sarchive, "tags", "exists")) == [0, 1, 3]
         assert _ids(json_filter(sarchive, "objs.h", "exists")) == [1, 3]
+
+
+class TestFloatFormats:
+    """FormattedFloat/DictionaryFloat analog (ColumnWriter.hpp:69-125,
+    FloatFormatEncoding.*): non-canonical float text round-trips
+    byte-exactly, and float EQ/ranges run on the order-preserving key."""
+
+    TEXTS = [
+        (0, '{"a":1.5}'),
+        (1, '{"a":1.50}'),
+        (2, '{"a":2.5e1}'),
+        (3, '{"a":-0.25}'),
+        (4, '{"a":0.125,"b":"x"}'),
+    ]
+
+    @pytest.fixture(scope="class", params=[300_000, 1])
+    def farchive(self, spark, request):
+        df = spark.createDataFrame(self.TEXTS, "rid long, json string")
+        a = encode_json_df(
+            df, "json", passthrough=["rid"], driver_dict_cap=request.param
+        )
+        a.encoded = a.encoded.persist()
+        a.encoded.count()
+        return a
+
+    def test_byte_exact_roundtrip(self, farchive):
+        got = {
+            r["rid"]: r["json"]
+            for r in reconstruct_json_df(farchive).select("rid", "json").collect()
+        }
+        for rid, text in self.TEXTS:
+            assert got[rid] == text, (rid, got[rid])
+
+    def test_float_eq_matches_by_value(self, farchive):
+        # 1.50 and 1.5 are the same double — EQ matches both formats
+        assert _ids(json_filter(farchive, "a", "eq", 1.5)) == [0, 1]
+        assert _ids(json_filter(farchive, "a", "eq", 25.0)) == [2]
+
+    def test_float_ranges(self, farchive):
+        assert _ids(json_filter(farchive, "a", "lt", 1.5)) == [3, 4]
+        assert _ids(json_filter(farchive, "a", "gte", 1.5)) == [0, 1, 2]
+        assert _ids(json_filter(farchive, "a", "gt", -1.0)) == [0, 1, 2, 3, 4]
+        assert _ids(json_filter(farchive, "a", "lte", -0.25)) == [3]
+
+    def test_kql_float_range(self, farchive):
+        from clp_spark.clps import kql_query
+
+        assert _ids(kql_query(farchive, "a >= 1.5 AND a < 25.0")) == [0, 1]

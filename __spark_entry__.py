@@ -135,6 +135,35 @@ def _events_json_archive(spark, sf):
     return _CORPUS_CACHE[key]
 
 
+def _logs_ts_corpus(spark, sf):
+    """Log lines WITH leading timestamps, compressed with
+    parse_timestamps=True — exercises per-message timestamp ingestion
+    (TimestampPattern.cpp / MessageParser.cpp:95+ analog): the pattern
+    id + epoch-ms ride with the encoded row; decode regenerates the
+    original line byte-exactly."""
+    key = ("logs_ts", id(spark), sf)
+    if key not in _CORPUS_CACHE:
+        ev = _read(spark, sf, "events")
+        lines = ev.select(
+            "event_id",
+            F.concat(
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                F.lit(" "),
+                "event_type",
+                F.lit(" uid="),
+                "user_id",
+            ).alias("line"),
+        )
+        enc, lt, vd = compress_df(
+            lines,
+            PipelineConfig(parse_timestamps=True),
+            text_col="line",
+            passthrough=["event_id"],
+        )
+        _CORPUS_CACHE[key] = (enc.persist(), lt.persist(), vd.persist())
+    return _CORPUS_CACHE[key]
+
+
 def _events_json_sarchive(spark, sf):
     """Structurized-array variant (JsonParser.cpp parse_array analog):
     records carry a scalar array and an array of objects, encoded with
@@ -351,6 +380,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         arch = _events_json_archive(spark, sf)
         return kql_query(arch, '"purchase"').select("event_id")
 
+    def clp_ts_ingest_roundtrip(spark, sf):
+        # per-message timestamp parse at ingest + byte-exact regen at
+        # decode (36-pattern table; oracle compares the raw line)
+        from clp_spark.functions.timestamps import prepend_timestamps_df
+
+        enc, lt, vd = _logs_ts_corpus(spark, sf)
+        dec = decode_messages(enc, lt, vd, "line")
+        return prepend_timestamps_df(dec, "line").select("event_id", "line")
+
+    def clp_ts_ingest_range_count(spark, sf):
+        # ts-range search on the INGEST-EXTRACTED epoch-ms column (not a
+        # pre-existing ts column) — proves the parsed values are right
+        enc, lt, vd = _logs_ts_corpus(spark, sf)
+        m = search(
+            enc, lt, vd, "*view*",
+            ts_range=(1704412800000, 1705017600000),  # 2024-01-05 .. 01-12 UTC
+            ts_col="ts_ms",
+        )
+        return count_matches(m)
+
     def clp_json_array_filter(spark, sf):
         # structurized arrays: element-level predicate inside an array
         # plus an object-in-array field (SchemaTree.hpp:43
@@ -365,6 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clp_kql_list_nested"] = clp_kql_list_nested
     q["clp_kql_bare_value"] = clp_kql_bare_value
     q["clp_json_array_filter"] = clp_json_array_filter
+    q["clp_ts_ingest_roundtrip"] = clp_ts_ingest_roundtrip
+    q["clp_ts_ingest_range_count"] = clp_ts_ingest_range_count
     q["clp_json_typed_filter"] = clp_json_typed_filter
     q["clp_json_clpstring_eq"] = clp_json_clpstring_eq
     q["clp_json_roundtrip"] = clp_json_roundtrip
@@ -711,6 +762,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "clp_kql_bare_value": """
             SELECT event_id FROM events WHERE event_type = 'purchase'
+        """,
+        "clp_ts_ingest_roundtrip": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') || ' ' || event_type
+                   || ' uid=' || user_id AS line
+            FROM events
+        """,
+        "clp_ts_ingest_range_count": """
+            SELECT count(*) AS n FROM events
+            WHERE (' ' || event_type || ' uid=' || user_id) LIKE '%view%'
+              AND (epoch_ms(ts) // 1000) * 1000 >= 1704412800000
+              AND (epoch_ms(ts) // 1000) * 1000 <= 1705017600000
         """,
         "clp_json_array_filter": """
             SELECT event_id FROM events

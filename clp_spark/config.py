@@ -63,4 +63,11 @@ class PipelineConfig:
     # each far below this cap — not one global dictionary.
     driver_dict_cap: int = 2_000_000
 
+    # parse a leading timestamp out of every message before tokenizing
+    # (the reference does this on every message: TimestampPattern.cpp,
+    # MessageParser.cpp:95+). The matched pattern id + epoch-ms + prefix
+    # ride with the encoded row; decode regenerates the original text
+    # byte-exactly, and ts-range search pushes down on the ts_ms column.
+    parse_timestamps: bool = False
+
     extra_spark_conf: dict = field(default_factory=dict)

@@ -45,6 +45,34 @@ from clp_spark.route.fanout import (
 )
 
 
+def _parse_phase(
+    pages: DataFrame,
+    cfg: PipelineConfig,
+    text_col: str,
+    passthrough: list[str] | None,
+) -> DataFrame:
+    """Parse stage: optionally split off the leading timestamp
+    (TimestampPattern.cpp / MessageParser.cpp:95+ analog — pattern id,
+    epoch-ms, and prefix ride with the row; the tokenizer then sees only
+    the message body), then tokenize. Both maps are narrow — no
+    shuffle."""
+    if not cfg.parse_timestamps:
+        return tokenize_df(spread(pages), text_col=text_col, passthrough=passthrough)
+    from clp_spark.functions.timestamps import extract_timestamp_df
+
+    keep = (
+        list(passthrough)
+        if passthrough is not None
+        else [c for c in ("url", "warc_ts", "lang") if c in pages.columns]
+    )
+    with_ts = extract_timestamp_df(spread(pages), text_col=text_col, keep=keep)
+    return tokenize_df(
+        with_ts,
+        text_col="rest",
+        passthrough=keep + ["ts_pattern_id", "ts_ms", "ts_prefix"],
+    )
+
+
 def compress_df(
     pages: DataFrame,
     cfg: PipelineConfig | None = None,
@@ -59,9 +87,7 @@ def compress_df(
     corpus is read, encoded, queried, and discarded in one job.
     """
     cfg = cfg or PipelineConfig()
-    parsed = tokenize_df(
-        spread(pages), text_col=text_col, passthrough=passthrough
-    ).persist()
+    parsed = _parse_phase(pages, cfg, text_col, passthrough).persist()
     small = build_dicts_small(parsed, cfg.driver_dict_cap)
     if small is not None:
         lt_dict, v_dict, lt_map, v_map = small
@@ -92,7 +118,7 @@ def compress(
     metrics_dir = os.path.join(out_dir, "metrics")
 
     # schemas pinned up front so empty buckets / empty inputs read back fine
-    parsed_schema = tokenize_df(pages.limit(0)).schema
+    parsed_schema = _parse_phase(pages.limit(0), cfg, "text", None).schema
 
     # ---- phase 1: parse (bucket-checkpointed, ONE input pass) ----
     # All uncommitted buckets are written in a single scan via
@@ -112,7 +138,7 @@ def compress(
         passthrough = [
             c for c in ("url", "warc_ts", "lang") if c in pages.columns
         ] + ["bucket"]
-        parsed = tokenize_df(bucketed, passthrough=passthrough)
+        parsed = _parse_phase(bucketed, cfg, "text", passthrough)
         # per-bucket row counts ride along with the write as observed
         # metrics — no second scan of the written output (the read-back
         # count job was a fixed serial cost charged to every cluster size)

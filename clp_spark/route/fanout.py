@@ -29,6 +29,7 @@ from clp_spark.config import PipelineConfig
 def add_sink_id(
     encoded: DataFrame, num_sinks: int, cols: tuple = ("logtype_id", "lang")
 ) -> DataFrame:
+    cols = tuple(c for c in cols if c in encoded.columns) or ("logtype_id",)
     return encoded.withColumn(
         "sink_id", F.pmod(F.xxhash64(*cols), F.lit(num_sinks))
     )

@@ -156,3 +156,33 @@ def test_deterministic_across_parallelism(spark, pages_pdf, tmp_path_factory):
             )
         )
     assert ids[0] == ids[1]
+
+
+def test_compress_with_parse_timestamps(spark, tmp_path):
+    """parse_timestamps=True: the persisted pipeline splits the leading
+    timestamp off every message (pattern id + epoch-ms + prefix ride to
+    the sinks) and decode + prepend regenerates the original line
+    byte-exactly."""
+    from clp_spark.config import PipelineConfig
+    from clp_spark.functions.timestamps import prepend_timestamps_df
+    from clp_spark.pipeline import compress
+    from clp_spark.search.decode import decode_messages
+
+    rows = [
+        (f"u{i}", f"2024-01-{(i % 5) + 1:02d} 10:00:{i % 10:02d} level msg {i}")
+        for i in range(20)
+    ] + [("u_none", "no leading timestamp here 7")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = str(tmp_path / "ts_out")
+    res = compress(
+        spark, df, out,
+        PipelineConfig(num_checkpoint_buckets=1, parse_timestamps=True),
+    )
+    sinks = spark.read.parquet(res["sinks"])
+    assert "ts_ms" in sinks.columns
+    assert sinks.filter("ts_ms IS NOT NULL").count() == 20
+    lt = spark.read.parquet(res["dicts"] + "/logtype")
+    vd = spark.read.parquet(res["dicts"] + "/var")
+    dec = prepend_timestamps_df(decode_messages(sinks, lt, vd, "text"), "text")
+    got = {r["url"]: r["text"] for r in dec.select("url", "text").collect()}
+    assert got == dict(rows)

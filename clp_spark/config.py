@@ -31,6 +31,17 @@ class PipelineConfig:
     # fan-out: number of sink tables; sink_id = pmod(xxhash64(logtype_id, lang), num_sinks)
     num_sinks: int = 8
 
+    # segments per sink (CLP's segment granularity: Query.hpp:103-121
+    # prunes per SEGMENT, not per archive). Segments are TIME-WINDOWED
+    # when a timestamp column exists (seg_id = floor(epoch / window) —
+    # CLP segments are ingest-contiguous, so ids/timestamps cluster per
+    # segment; that clustering is what makes the index prune), falling
+    # back to a row-identity hash mod num_segments otherwise. The
+    # inverted indexes and the timestamp zone map are per (sink_id,
+    # seg_id).
+    num_segments: int = 4
+    segment_window_days: float = 7.0
+
     # skew: logtypes whose row share exceeds this fraction get salted
     hot_logtype_threshold: float = 0.05
     # salt fan-out for hot logtypes (pre-shuffle sub-splitting)

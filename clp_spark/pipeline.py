@@ -36,11 +36,12 @@ from clp_spark.dicts.build import (
 from clp_spark.parse.tokenizer import tokenize_df
 from clp_spark.util import spread
 from clp_spark.route.fanout import (
+    add_seg_id,
     add_sink_id,
     hot_logtypes_from_dict,
     route_to_sinks,
+    segment_summary,
     sink_metrics,
-    sink_summary,
     sink_var_cardinality,
 )
 
@@ -244,32 +245,46 @@ def compress(
             hot = hot_logtypes_from_dict(lt_dict, cfg.hot_logtype_threshold)
         # persist the sinked rows: the metrics/manifest aggregations reuse
         # them directly instead of re-opening the many small sink files
-        enc_sinked = add_sink_id(encoded, cfg.num_sinks).persist()
+        enc_sinked = add_seg_id(
+            add_sink_id(encoded, cfg.num_sinks),
+            cfg.num_segments,
+            window_days=cfg.segment_window_days,
+        ).persist()
         route_to_sinks(enc_sinked, sinks_dir, cfg, hot_logtypes=hot, presinked=True)
         encoded_schema = enc_sinked.schema
         # Post-route bookkeeping, TWO scans of the persisted frame (round
         # 2 used four — the fixed serial small-job cost behind the 29%
-        # local[32] pipeline-wall regression): sink_summary fuses the
-        # per-sink metrics with the logtype inverted index (+ ts zone
-        # map) into one groupBy, and the var-dict manifest keeps its own
+        # local[32] pipeline-wall regression): segment_summary fuses the
+        # per-SEGMENT metrics with the logtype inverted index + ts zone
+        # map into one groupBy, and the var-dict manifest keeps its own
         # distinct-pair scan (var dicts are too big for an array
         # aggregate). The two scans run as CONCURRENT driver threads; the
-        # metrics/manifest writes then derive from the two tiny results.
+        # manifests, the segments zone map, and the per-sink metrics all
+        # derive from the two tiny results.
         from concurrent.futures import ThreadPoolExecutor
 
         need_metrics = "metrics" not in manifest.committed("metrics")
         t_m = time.time()
-        summary = sink_summary(enc_sinked).persist()
+        summary = segment_summary(enc_sinked).persist()
+        ts_cols = [c for c in ("ts_min", "ts_max") if c in summary.columns]
 
         def _w_lt():
             summary.select(
-                "sink_id", F.explode("lt_set").alias("logtype_id")
+                "sink_id", "seg_id", F.explode("lt_set").alias("logtype_id")
             ).write.mode("overwrite").parquet(
                 os.path.join(out_dir, "manifest", "logtype")
             )
+            # segment zone map: rows + ts range per (sink, seg)
+            summary.select(
+                "sink_id", "seg_id", "rows", *ts_cols
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "manifest", "segments")
+            )
 
         var_man = (
-            enc_sinked.select("sink_id", F.explode("dict_var_ids").alias("var_id"))
+            enc_sinked.select(
+                "sink_id", "seg_id", F.explode("dict_var_ids").alias("var_id")
+            )
             .distinct()
             .persist()
         )
@@ -284,22 +299,41 @@ def compress(
                 f.result()
         manifest.commit("route", "route", run_id, wall_ms=int(1000 * (time.time() - t0)))
         if need_metrics:
-            ts_cols = [c for c in ("ts_min", "ts_max") if c in summary.columns]
-            var_card = var_man.groupBy("sink_id").agg(
-                F.count("*").alias("var_cardinality")
+            var_card = (
+                var_man.select("sink_id", "var_id")
+                .distinct()
+                .groupBy("sink_id")
+                .agg(F.count("*").alias("var_cardinality"))
             )
+            sink_aggs = [
+                F.sum("rows").alias("rows"),
+                F.expr(
+                    "size(array_distinct(flatten(collect_list(lt_set))))"
+                ).alias("logtype_cardinality"),
+                F.sum("n_encoded_vars").alias("n_encoded_vars"),
+                F.sum("encoded_bytes").alias("encoded_bytes"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+            ]
+            if ts_cols:
+                sink_aggs += [
+                    F.min("ts_min").alias("ts_min"),
+                    F.max("ts_max").alias("ts_max"),
+                ]
             m = (
-                summary.select(
+                summary.groupBy("sink_id")
+                .agg(*sink_aggs)
+                .join(var_card, "sink_id", "left")
+                .na.fill({"var_cardinality": 0})
+                .select(
                     "sink_id",
                     "rows",
-                    F.size("lt_set").alias("logtype_cardinality"),
+                    "logtype_cardinality",
                     "n_encoded_vars",
                     "encoded_bytes",
                     "raw_bytes",
                     *ts_cols,
+                    "var_cardinality",
                 )
-                .join(var_card, "sink_id", "left")
-                .na.fill({"var_cardinality": 0})
                 .orderBy("sink_id")
             )
             m.write.mode("overwrite").parquet(metrics_dir)
@@ -310,9 +344,14 @@ def compress(
         var_man.unpersist()
         enc_sinked.unpersist()
     if encoded_schema is None:
-        encoded_schema = add_sink_id(
-            encode_with_dicts(parsed_all.limit(0), lt_dict.limit(0), v_dict.limit(0)),
-            cfg.num_sinks,
+        encoded_schema = add_seg_id(
+            add_sink_id(
+                encode_with_dicts(
+                    parsed_all.limit(0), lt_dict.limit(0), v_dict.limit(0)
+                ),
+                cfg.num_sinks,
+            ),
+            cfg.num_segments,
         ).schema
 
     encoded_sinks = spark.read.schema(encoded_schema).parquet(sinks_dir)

@@ -35,6 +35,66 @@ def add_sink_id(
     )
 
 
+def add_seg_id(
+    encoded: DataFrame,
+    num_segments: int,
+    window_days: float = 7.0,
+    ts_cols: tuple = ("warc_ts", "ts_ms"),
+    key_cols: tuple = ("url", "doc_id", "event_id"),
+) -> DataFrame:
+    """Split each sink into segments (the CLP segment analog —
+    reference segments are ingest-order-contiguous, so dictionary IDs
+    and timestamps CLUSTER per segment; that clustering is what makes
+    the per-segment index prune below archive level).
+
+    Time-windowed when a timestamp column exists: seg_id =
+    floor(epoch / window). Contiguous time ranges per segment mean the
+    zone map [ts_min, ts_max] aligns exactly with the window and rare
+    ids (which cluster in time in real logs) hit few segments. Null
+    timestamps land in window 0 — sound, because a NULL ts never
+    matches a ts-range predicate anyway, and token pruning still sees
+    the row's ids in segment 0's manifest. Falls back to a
+    row-identity hash mod num_segments when no ts column is present.
+    Either way seg_id is row-deterministic at any parallelism, so
+    per-sink aggregates stay exact across cluster sizes."""
+    ts = next((c for c in ts_cols if c in encoded.columns), None)
+    if ts is not None:
+        dt = dict(encoded.dtypes)[ts]
+        epoch_s = (
+            F.unix_timestamp(F.col(ts)).cast("double")
+            if dt.startswith("timestamp") or dt == "date"
+            else F.col(ts).cast("double") / F.lit(1000.0)
+        )
+        seg = F.floor(
+            F.coalesce(epoch_s, F.lit(0.0)) / F.lit(86400.0 * window_days)
+        )
+    else:
+        key = next((c for c in key_cols if c in encoded.columns), "logtype_id")
+        seg = F.pmod(F.xxhash64(key), F.lit(num_segments))
+    return encoded.withColumn("seg_id", seg.cast("long"))
+
+
+def segment_summary(encoded_with_seg: DataFrame) -> DataFrame:
+    """ONE pass fusing the per-SEGMENT metric aggregates with the
+    logtype inverted index and the timestamp zone map (sink_id, seg_id,
+    rows, n_encoded_vars, encoded_bytes, raw_bytes, lt_set
+    [, ts_min, ts_max]). Per-sink metrics re-aggregate from this tiny
+    frame; the manifests explode from it — the big frame is scanned
+    once for all of them."""
+    aggs = [
+        F.count("*").alias("rows"),
+        F.sum(F.size("encoded_vars")).alias("n_encoded_vars"),
+        F.sum(F.expr("8 + 8 + 8 * size(encoded_vars)")).alias("encoded_bytes"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sort_array(F.collect_set("logtype_id")).alias("lt_set"),
+    ]
+    for c in ("warc_ts", "ts_ms"):
+        if c in encoded_with_seg.columns:
+            aggs += [F.min(c).alias("ts_min"), F.max(c).alias("ts_max")]
+            break
+    return encoded_with_seg.groupBy("sink_id", "seg_id").agg(*aggs)
+
+
 def detect_hot_logtypes(encoded: DataFrame, threshold_fraction: float) -> list[int]:
     """Logtype IDs whose row share exceeds the threshold (driver-side list).
 
@@ -85,13 +145,15 @@ def route_to_sinks(
         salt = F.lit(0)
     df = df.withColumn("_salt", salt)
 
-    # shuffle on (sink_id, salt): hot sinks spread across salt buckets,
-    # cold sinks coalesce; partitionBy still lays files out per sink dir
+    # shuffle on (sink_id, seg_id, salt): hot sinks spread across salt
+    # buckets, cold sinks coalesce; partitionBy lays files out per
+    # sink/segment dir so pruning is directory-level
+    part_cols = ["sink_id"] + (["seg_id"] if "seg_id" in df.columns else [])
     (
-        df.repartition(cfg.shuffle_partitions, "sink_id", "_salt")
+        df.repartition(cfg.shuffle_partitions, *part_cols, "_salt")
         .drop("_salt")
         .write.mode("overwrite")
-        .partitionBy("sink_id")
+        .partitionBy(*part_cols)
         .option("compression", cfg.compression_codec)
         # parquet bloom filter on logtype_id: the row-group analog of the
         # reference's var-dict bloom (BloomFilter.hpp:18-29, SURVEY §2.3)

@@ -6,16 +6,21 @@ calculate_ids_of_matching_segments: a segment is searched only if it
 contains a candidate logtype ID / dictionary-var ID for the query;
 indexes written per dictionary at DictionaryWriter.hpp:72).
 
-Spark shape: compress writes two inverted-index tables
-(sink_id, logtype_id) and (sink_id, var_id). At query time the compiled
-token branches are evaluated at *sink* granularity first: a sink
-survives a token iff some branch could hold there — its candidate
-logtype IDs or var IDs appear in the sink's manifest, or the branch is
-un-indexable (exact int/float encodings, 'any'). Sinks failing any
-token are dropped with `sink_id.isin(...)`, which prunes whole
-partition directories from the parquet scan before a single data row
-is read. Pruning is a superset (never drops a matching sink); the
-row-level prefilter + decode-confirm stages then run as usual.
+Spark shape: compress writes two inverted-index tables at SEGMENT
+granularity — (sink_id, seg_id, logtype_id) and (sink_id, seg_id,
+var_id) — plus a segment zone map (sink_id, seg_id, rows
+[, ts_min, ts_max]). At query time the compiled token branches are
+evaluated per segment: a segment survives a token iff some branch
+could hold there — its candidate logtype IDs or var IDs appear in the
+segment's manifest, or the branch is un-indexable (exact int/float
+encodings, 'any'). A timestamp range additionally drops segments whose
+zone-map [ts_min, ts_max] doesn't overlap it. Segments failing any
+stage are dropped with a partition predicate over (sink_id, seg_id),
+which prunes whole partition directories from the parquet scan before
+a single data row is read. Pruning is a superset (never drops a
+matching segment); the row-level prefilter + decode-confirm stages
+then run as usual. Manifests from older archives without seg_id
+degrade gracefully to sink-level pruning.
 """
 
 from __future__ import annotations
@@ -28,30 +33,44 @@ from clp_spark.search.compiler import CompiledQuery, TokenPred, compile_query
 from clp_spark.search.executor import _DictIndex, _has_meta, _load_index, search
 
 # manifests above this many pairs are not collected; pruning degrades to
-# "no sink pruning" (still exact — row-level stages remain)
+# "no segment pruning" (still exact — row-level stages remain)
 _MAX_DRIVER_MANIFEST_PAIRS = 4_000_000
 
 
-def _collect_pairs(df: DataFrame, key: str) -> dict | None:
+def _unit_cols(df: DataFrame) -> list[str]:
+    """Prune-unit key: (sink_id, seg_id) when segments exist, else
+    (sink_id,) for pre-segment archives."""
+    return ["sink_id", "seg_id"] if "seg_id" in df.columns else ["sink_id"]
+
+
+def _collect_pairs(df: DataFrame, key: str) -> tuple[dict, set] | None:
+    """key value -> set of prune units; also returns the full unit set.
+    None when the manifest exceeds the driver cap (degrade, don't
+    truncate — a truncated map would under-prune unsoundly the other
+    way: it would *drop* segments whose pairs fell past the cap)."""
+    unit_cols = _unit_cols(df)
     rows = df.limit(_MAX_DRIVER_MANIFEST_PAIRS + 1).collect()
     if len(rows) > _MAX_DRIVER_MANIFEST_PAIRS:
         return None
     out: dict = {}
+    all_units: set = set()
     for r in rows:
-        out.setdefault(r[key], set()).add(r["sink_id"])
-    return out
+        u = tuple(r[c] for c in unit_cols)
+        out.setdefault(r[key], set()).add(u)
+        all_units.add(u)
+    return out, all_units
 
 
-def _token_sinks(
+def _token_units(
     tp: TokenPred, idx: _DictIndex, ignore_case: bool,
-    lt_sinks: dict, var_sinks: dict | None,
+    lt_units: dict, var_units: dict | None,
 ) -> set | None:
-    """Sinks where this token could possibly match; None = all sinks."""
+    """Prune units where this token could match; None = all units."""
     out: set = set()
     for br in tp.branches:
         k = br.kind
         if k in ("any", "enc"):
-            return None  # encoded int/float values are not sink-indexed
+            return None  # encoded int/float values are not segment-indexed
         if k in ("logtype", "enc_int", "enc_float"):
             if k == "logtype":
                 ids = idx.logtype_ids(br.pattern, ignore_case)
@@ -64,9 +83,9 @@ def _token_sinks(
             if ids is None:
                 return None
             for i in ids:
-                out |= lt_sinks.get(i, set())
+                out |= lt_units.get(i, set())
         elif k == "dictvar":
-            if var_sinks is None:
+            if var_units is None:
                 return None
             if _has_meta(br.pattern):
                 ids = idx.var_ids(br.pattern, ignore_case)
@@ -75,12 +94,12 @@ def _token_sinks(
             if ids is None:
                 return None
             for i in ids:
-                out |= var_sinks.get(i, set())
+                out |= var_units.get(i, set())
         elif k == "split":
             # split = AND of parts → intersection; part None ⇒ no info
             acc: set | None = None
             for part in br.parts:
-                s = _token_sinks(part, idx, ignore_case, lt_sinks, var_sinks)
+                s = _token_units(part, idx, ignore_case, lt_units, var_units)
                 if s is None:
                     continue
                 acc = s if acc is None else (acc & s)
@@ -90,28 +109,87 @@ def _token_sinks(
     return out
 
 
+def prune_segment_units(
+    cq: CompiledQuery,
+    idx: _DictIndex,
+    lt_manifest: DataFrame,
+    var_manifest: DataFrame | None,
+) -> tuple[list, list[str]] | None:
+    """(surviving prune units, unit column names); None = cannot prune."""
+    if cq.match_all or idx is None:
+        return None
+    unit_cols = _unit_cols(lt_manifest)
+    lt = _collect_pairs(lt_manifest, "logtype_id")
+    if lt is None:
+        return None
+    lt_units, _ = lt
+    var_units = None
+    if var_manifest is not None:
+        v = _collect_pairs(var_manifest, "var_id")
+        var_units = v[0] if v is not None else None
+    surviving: set | None = None
+    for tp in cq.tokens:
+        s = _token_units(tp, idx, cq.ignore_case, lt_units, var_units)
+        if s is None:
+            continue
+        surviving = s if surviving is None else (surviving & s)
+    return None if surviving is None else (sorted(surviving), unit_cols)
+
+
 def prune_sink_ids(
     cq: CompiledQuery,
     idx: _DictIndex,
     lt_manifest: DataFrame,
     var_manifest: DataFrame | None,
 ) -> list | None:
-    """Sink ids that could contain matches; None = cannot prune."""
-    if cq.match_all or idx is None:
+    """Sink ids that could contain matches; None = cannot prune.
+    Sink-granular view over prune_segment_units (kept for callers that
+    only key on sink_id)."""
+    r = prune_segment_units(cq, idx, lt_manifest, var_manifest)
+    if r is None:
         return None
-    lt_sinks = _collect_pairs(lt_manifest, "logtype_id")
-    if lt_sinks is None:
+    units, _ = r
+    return sorted({u[0] for u in units})
+
+
+def unit_filter(units: list, unit_cols: list[str]):
+    """Partition predicate selecting exactly these prune units.
+
+    Grouped per sink — `sink_id == s AND seg_id IN (...)` OR'd across
+    sinks — so Catalyst folds it into PartitionFilters and the parquet
+    scan lists only the surviving sink/segment directories."""
+    if not units:
+        return F.lit(False)
+    if len(unit_cols) == 1:
+        return F.col("sink_id").isin([u[0] for u in units])
+    by_sink: dict = {}
+    for s, g in units:
+        by_sink.setdefault(s, []).append(g)
+    pred = None
+    for s, segs in sorted(by_sink.items()):
+        p = (F.col("sink_id") == s) & F.col("seg_id").isin(sorted(segs))
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
+def ts_surviving_units(
+    seg_manifest: DataFrame, ts_range: tuple
+) -> tuple[list, list[str]] | None:
+    """Prune units whose zone-map [ts_min, ts_max] overlaps the query
+    range (CLP's archive-level timestamp range pruning, SURVEY §4 row 1;
+    Grep.cpp skips archives outside [begin_ts, end_ts]). None when the
+    manifest carries no timestamp columns."""
+    if "ts_min" not in seg_manifest.columns:
         return None
-    var_sinks = (
-        _collect_pairs(var_manifest, "var_id") if var_manifest is not None else None
-    )
-    surviving: set | None = None
-    for tp in cq.tokens:
-        s = _token_sinks(tp, idx, cq.ignore_case, lt_sinks, var_sinks)
-        if s is None:
-            continue
-        surviving = s if surviving is None else (surviving & s)
-    return None if surviving is None else sorted(surviving)
+    lo, hi = ts_range
+    df = seg_manifest
+    if lo is not None:
+        df = df.filter(F.col("ts_max") >= lo)
+    if hi is not None:
+        df = df.filter(F.col("ts_min") <= hi)
+    unit_cols = _unit_cols(seg_manifest)
+    rows = df.select(*unit_cols).collect()
+    return [tuple(r[c] for c in unit_cols) for r in rows], unit_cols
 
 
 def search_sinks(
@@ -120,7 +198,7 @@ def search_sinks(
     query: str,
     **kwargs,
 ) -> DataFrame:
-    """Search a persisted compress() output directory: sink-manifest
+    """Search a persisted compress() output directory: segment-manifest
     pruning (stage 2) + the regular staged search. Accepts the same
     keyword arguments as executor.search."""
     sinks = spark.read.parquet(os.path.join(out_dir, "sinks"))
@@ -133,12 +211,27 @@ def search_sinks(
         substring=kwargs.get("substring", True),
     )
     man_dir = os.path.join(out_dir, "manifest")
-    if not cq.match_all and os.path.isdir(man_dir):
-        idx = _load_index(lt_dict, v_dict)
-        if idx is not None:
-            lt_man = spark.read.parquet(os.path.join(man_dir, "logtype"))
-            var_man = spark.read.parquet(os.path.join(man_dir, "var"))
-            keep = prune_sink_ids(cq, idx, lt_man, var_man)
-            if keep is not None:
-                sinks = sinks.filter(F.col("sink_id").isin(keep))
+    if os.path.isdir(man_dir):
+        units: set | None = None
+        unit_cols: list[str] | None = None
+        if not cq.match_all:
+            idx = _load_index(lt_dict, v_dict)
+            if idx is not None:
+                lt_man = spark.read.parquet(os.path.join(man_dir, "logtype"))
+                var_man = spark.read.parquet(os.path.join(man_dir, "var"))
+                r = prune_segment_units(cq, idx, lt_man, var_man)
+                if r is not None:
+                    units, unit_cols = set(r[0]), r[1]
+        ts_range = kwargs.get("ts_range")
+        seg_dir = os.path.join(man_dir, "segments")
+        if ts_range is not None and os.path.isdir(seg_dir):
+            r = ts_surviving_units(spark.read.parquet(seg_dir), ts_range)
+            if r is not None:
+                ts_units, ts_cols = set(r[0]), r[1]
+                if units is None:
+                    units, unit_cols = ts_units, ts_cols
+                elif unit_cols == ts_cols:
+                    units &= ts_units
+        if units is not None:
+            sinks = sinks.filter(unit_filter(sorted(units), unit_cols))
     return search(sinks, lt_dict, v_dict, query, **kwargs)

@@ -68,6 +68,87 @@ def test_pruning_skips_sinks(spark, compressed):
     assert "PartitionFilters" in plan
 
 
+def test_segment_pruning_scans_fewer_files_than_sink_pruning(spark, compressed):
+    """Segment-granular manifests (sink_id, seg_id, id) must prune
+    BELOW sink level: for a selective query the scanned-file count is
+    strictly less than the file count of the surviving sinks (CLP's
+    per-segment index, Query.hpp:103-121)."""
+    from clp_spark.search.sinks import prune_segment_units, unit_filter
+
+    out, res = compressed
+    lt_dict = spark.read.parquet(res["dicts"] + "/logtype")
+    v_dict = spark.read.parquet(res["dicts"] + "/var")
+    idx = _load_index(lt_dict, v_dict)
+    lt_man = spark.read.parquet(res["sink_manifest"] + "/logtype")
+    var_man = spark.read.parquet(res["sink_manifest"] + "/var")
+
+    # one-row token: its dict-var id lives in exactly one time-window
+    # segment, so segment pruning must beat sink pruning
+    cq = compile_query("*deadbeef2fd2*")
+    r = prune_segment_units(cq, idx, lt_man, var_man)
+    assert r is not None
+    units, unit_cols = r
+    assert unit_cols == ["sink_id", "seg_id"]
+    sinks = spark.read.parquet(res["sinks"])
+
+    seg_files = (
+        sinks.filter(unit_filter(units, unit_cols))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    sink_files = (
+        sinks.filter(F.col("sink_id").isin(sorted({u[0] for u in units})))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert 0 < seg_files < sink_files
+
+    # and the (sink, seg) predicate reaches the scan as a partition filter
+    plan = (
+        sinks.filter(unit_filter(units, unit_cols))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "seg_id" in plan
+
+
+def test_ts_zone_map_prunes_segments(spark, compressed, pages_pdf):
+    """The segments zone map drops (sink, seg) units whose
+    [ts_min, ts_max] misses the query range, and the pruned search
+    stays exact for a ts-bounded grep."""
+    from clp_spark.search.sinks import ts_surviving_units
+
+    out, res = compressed
+    seg_man = spark.read.parquet(res["sink_manifest"] + "/segments")
+    assert {"sink_id", "seg_id", "rows", "ts_min", "ts_max"} <= set(
+        seg_man.columns
+    )
+    total_units = seg_man.count()
+    lo = pages_pdf["warc_ts"].quantile(0.98).to_pydatetime()
+    r = ts_surviving_units(seg_man, (lo, None))
+    assert r is not None
+    units, unit_cols = r
+    assert len(units) < total_units
+
+    got = {
+        row["url"]
+        for row in search_sinks(spark, out, "user=alice", ts_range=(lo, None))
+        .select("url")
+        .collect()
+    }
+    exp = {
+        u
+        for u, t, ts in zip(
+            pages_pdf["url"], pages_pdf["text"], pages_pdf["warc_ts"]
+        )
+        if ts >= lo and wildcard_match("*user=alice*", t)
+    }
+    assert got == exp
+
+
 def test_zero_hit_query_prunes_every_sink(spark, compressed):
     out, res = compressed
     lt_dict = spark.read.parquet(res["dicts"] + "/logtype")

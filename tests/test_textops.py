@@ -117,6 +117,26 @@ def test_simhash_blocking_complete(docs):
     assert got == full and len(full) > 0
 
 
+def test_simhash_blocking_complete_large_radius(docs):
+    """Recall property at the OLD default radius: max_hamming=12 forces
+    13 pigeonhole blocks (scale-unsafe for big inputs — that's why the
+    default moved to 3 — but recall must still be exact when a caller
+    opts in on a small corpus)."""
+    sdf = simhash(docs).collect()
+    full = set()
+    for i, a in enumerate(sdf):
+        for b in sdf[i + 1 :]:
+            x, y = sorted((a["id"], b["id"]))
+            d = bin((a["simhash"] ^ b["simhash"]) & ((1 << 60) - 1)).count("1")
+            if d <= 12:
+                full.add((x, y))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=12).collect()
+    }
+    assert got == full and len(full) > 0
+
+
 def test_embedding_near_dup_symmetric_bound(emb):
     pairs = embedding_near_dup_pairs(emb, threshold=(2, 5)).collect()
     ids = {r["vec_id"] for r in emb.select("vec_id").collect()}

@@ -250,23 +250,27 @@ def compress(
             cfg.num_segments,
             window_days=cfg.segment_window_days,
         ).persist()
-        route_to_sinks(enc_sinked, sinks_dir, cfg, hot_logtypes=hot, presinked=True)
         encoded_schema = enc_sinked.schema
-        # Post-route bookkeeping, TWO scans of the persisted frame (round
-        # 2 used four — the fixed serial small-job cost behind the 29%
-        # local[32] pipeline-wall regression): segment_summary fuses the
-        # per-SEGMENT metrics with the logtype inverted index + ts zone
-        # map into one groupBy, and the var-dict manifest keeps its own
-        # distinct-pair scan (var dicts are too big for an array
-        # aggregate). The two scans run as CONCURRENT driver threads; the
-        # manifests, the segments zone map, and the per-sink metrics all
-        # derive from the two tiny results.
+        # The route write and ALL post-route bookkeeping (segment
+        # summary → manifests + zone map + per-sink metrics, plus the
+        # var-dict manifest's distinct-pair scan) run as CONCURRENT
+        # driver-thread jobs over the same persisted frame. Spark's
+        # per-block cache locks mean enc_sinked partitions are computed
+        # once no matter which job gets there first, and the bookkeeping
+        # aggregates overlap the route write's shuffle/IO tail instead
+        # of queueing serially behind it (the fixed small-job cost
+        # behind round 2's 29% local[32] pipeline-wall regression).
         from concurrent.futures import ThreadPoolExecutor
 
         need_metrics = "metrics" not in manifest.committed("metrics")
         t_m = time.time()
         summary = segment_summary(enc_sinked).persist()
         ts_cols = [c for c in ("ts_min", "ts_max") if c in summary.columns]
+
+        def _w_route():
+            route_to_sinks(
+                enc_sinked, sinks_dir, cfg, hot_logtypes=hot, presinked=True
+            )
 
         def _w_lt():
             summary.select(
@@ -294,11 +298,7 @@ def compress(
                 os.path.join(out_dir, "manifest", "var")
             )
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            for f in [pool.submit(_w_lt), pool.submit(_w_var)]:
-                f.result()
-        manifest.commit("route", "route", run_id, wall_ms=int(1000 * (time.time() - t0)))
-        if need_metrics:
+        def _w_metrics():
             var_card = (
                 var_man.select("sink_id", "var_id")
                 .distinct()
@@ -337,9 +337,24 @@ def compress(
                 .orderBy("sink_id")
             )
             m.write.mode("overwrite").parquet(metrics_dir)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_route = pool.submit(_w_route)
+            f_lt, f_var = pool.submit(_w_lt), pool.submit(_w_var)
+            f_metrics = pool.submit(_w_metrics) if need_metrics else None
+            for f in (f_route, f_lt, f_var):
+                f.result()
             manifest.commit(
-                "metrics", "metrics", run_id, wall_ms=int(1000 * (time.time() - t_m))
+                "route", "route", run_id, wall_ms=int(1000 * (time.time() - t0))
             )
+            if f_metrics is not None:
+                f_metrics.result()
+                manifest.commit(
+                    "metrics",
+                    "metrics",
+                    run_id,
+                    wall_ms=int(1000 * (time.time() - t_m)),
+                )
         summary.unpersist()
         var_man.unpersist()
         enc_sinked.unpersist()

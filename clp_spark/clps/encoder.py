@@ -127,22 +127,60 @@ class _Raw(str):
 
 def _dumps(o) -> str:
     """Canonical compact JSON serializer (== json.dumps(separators=
-    (',', ':'))) that additionally splices _Raw values verbatim — how a
-    FormattedFloat's exact source text survives re-serialization."""
+    (',', ':'), ensure_ascii=False)) that additionally splices _Raw
+    values verbatim — how a FormattedFloat's exact source text survives
+    re-serialization. ensure_ascii=False: machine serializers (Spark
+    to_json, orjson, serde_json) emit raw UTF-8, so raw UTF-8 sources
+    reconstruct byte-exactly; \\uXXXX-escaped sources round-trip
+    semantically, not byte-wise (documented v1 limitation)."""
     if isinstance(o, _Raw):
         return str(o)
     if isinstance(o, dict):
         return (
             "{"
-            + ",".join(f"{json.dumps(k)}:{_dumps(v)}" for k, v in o.items())
+            + ",".join(
+                f"{json.dumps(k, ensure_ascii=False)}:{_dumps(v)}"
+                for k, v in o.items()
+            )
             + "}"
         )
     if isinstance(o, list):
         return "[" + ",".join(_dumps(v) for v in o) + "]"
-    return json.dumps(o)
+    return json.dumps(o, ensure_ascii=False)
 
 
-def _walk(obj, path: str, out: list, structurize: bool = False) -> None:
+try:  # fast parse path; every use falls back to stdlib json when absent
+    import orjson as _orjson
+except ImportError:  # pragma: no cover
+    _orjson = None
+
+
+def _loads(s: str) -> tuple:
+    """(parsed record, fast) — the parse hot path.
+
+    Fast path (the reference uses simdjson for the same reason —
+    JsonParser.cpp): orjson parses ~6× faster than json.loads but has
+    no parse_float hook, so non-canonical float source text ("1.50",
+    "1e5") would be lost. Soundness check: if orjson's canonical
+    re-serialization equals the source bytes, every float's source
+    text IS orjson's rendering of its value (serialization is
+    compositional), so nothing was lost — _walk recovers each float's
+    source text as orjson.dumps(value). Any mismatch (or parse error:
+    >64-bit ints, NaN literals) falls back to json.loads with the
+    _RawFloat hook. Both paths yield byte-identical archives."""
+    if _orjson is not None:
+        try:
+            obj = _orjson.loads(s)
+        except Exception:
+            return json.loads(s, parse_float=_RawFloat), False
+        if _orjson.dumps(obj) == s.encode():
+            return obj, True
+    return json.loads(s, parse_float=_RawFloat), False
+
+
+def _walk(
+    obj, path: str, out: list, structurize: bool = False, fast: bool = False
+) -> None:
     """Flatten one parsed JSON record into typed leaves, document order.
 
     Type split per JsonParser.cpp:253-311. Arrays: kept whole
@@ -152,7 +190,7 @@ def _walk(obj, path: str, out: list, structurize: bool = False) -> None:
     reference's --structurize-arrays schema-tree expansion."""
     if isinstance(obj, dict):
         for k, v in obj.items():
-            _walk(v, f"{path}.{k}" if path else k, out, structurize)
+            _walk(v, f"{path}.{k}" if path else k, out, structurize, fast)
         return
     if isinstance(obj, bool):
         out.append((path, NODE_BOOL, 1 if obj else 0, None, None))
@@ -164,8 +202,20 @@ def _walk(obj, path: str, out: list, structurize: bool = False) -> None:
     elif isinstance(obj, float):
         okey = float_order_key(obj)
         raw = getattr(obj, "raw", None)
+        if raw is None and fast:
+            # orjson fast path: the record-level canonical check proved
+            # this float's source text equals orjson's rendering of it.
+            # orjson and json.dumps produce IDENTICAL shortest-digit
+            # fixed notation for 0 and magnitudes in [1e-4, 1e16), so
+            # in-range values need no serialization at all; outside it
+            # the styles diverge (orjson "1e16"/"0.00001" vs json
+            # "1e+16"/"1e-05") — recover the source text and compare.
+            av = obj if obj >= 0.0 else -obj
+            if not (av == 0.0 or 1e-4 <= av < 1e16):
+                raw = _orjson.dumps(obj).decode()
         if raw is not None and raw != json.dumps(float(obj)):
-            # non-canonical source text → DictionaryFloat analog
+            # source text ≠ our decoder's canonical form ("1.50", "1e5",
+            # or orjson's exponent style) → DictionaryFloat analog
             out.append((path, NODE_FMTFLOAT, okey, raw, None))
         else:
             out.append((path, NODE_FLOAT, okey, None, None))
@@ -180,7 +230,13 @@ def _walk(obj, path: str, out: list, structurize: bool = False) -> None:
     elif isinstance(obj, list):
         if not structurize:
             out.append(
-                (path, NODE_ARRAY, 0, json.dumps(obj, separators=(",", ":")), None)
+                (
+                    path,
+                    NODE_ARRAY,
+                    0,
+                    json.dumps(obj, separators=(",", ":"), ensure_ascii=False),
+                    None,
+                )
             )
             return
         out.append((path, NODE_ARRSTART, 0, None, None))
@@ -188,10 +244,10 @@ def _walk(obj, path: str, out: list, structurize: bool = False) -> None:
             if isinstance(el, dict):
                 out.append((path, NODE_OBJSTART, 0, None, None))
                 for k, v in el.items():
-                    _walk(v, f"{path}.{k}" if path else k, out, structurize)
+                    _walk(v, f"{path}.{k}" if path else k, out, structurize, fast)
                 out.append((path, NODE_OBJEND, 0, None, None))
             else:
-                _walk(el, path, out, structurize)
+                _walk(el, path, out, structurize, fast)
         out.append((path, NODE_ARREND, 0, None, None))
     else:  # pragma: no cover
         raise TypeError(f"unsupported JSON value: {type(obj)}")
@@ -219,7 +275,8 @@ def _parse_records(
             leaves_col = []
             for s in pdf[json_col]:
                 rec: list = []
-                _walk(json.loads(s, parse_float=_RawFloat), "", rec, structurize)
+                obj, fast = _loads(s)
+                _walk(obj, "", rec, structurize, fast)
                 rows = []
                 for path, tag, ival, sval, clp in rec:
                     if clp is None:

@@ -365,3 +365,64 @@ class TestFloatFormats:
         from clp_spark.clps import kql_query
 
         assert _ids(kql_query(farchive, "a >= 1.5 AND a < 25.0")) == [0, 1]
+
+
+class TestFastParsePath:
+    """The orjson fast parse path must produce leaves IDENTICAL to the
+    json.loads+_RawFloat slow path (byte-identical archives), across
+    non-canonical floats, exponent forms, bignums, unicode, arrays."""
+
+    CASES = [
+        '{"a":1.5,"b":"x y z","c":true,"d":null}',
+        '{"a":1.50}',                      # non-canonical float text
+        '{"a":1e16}',                      # orjson-canonical, json "1e+16"
+        '{"a":2.5e1,"nested":{"k":[1,2.25,"s"]}}',
+        '{"big":123456789012345678901234567890}',   # >int64 → bignum
+        '{"u":"héllo wörld","v":"naïve"}',          # raw UTF-8
+        '{ "a": 1 , "b" : 2.0 }',                   # whitespace → slow path
+        '{"arr":[{"x":1},{"x":2.5}],"s":"one two"}',
+        '{"a":0.00001}',     # orjson fixed form, json canonical "1e-05"
+        '{"a":1e-05}',       # json-canonical source → slow path, plain float
+        '{"a":0.0001,"b":9999999999999998.0}',      # fixed-form boundary
+        '{"a":-0.0,"b":0.0}',
+    ]
+
+    @pytest.mark.parametrize("structurize", [False, True])
+    def test_leaves_identical_fast_vs_slow(self, structurize):
+        from clp_spark.clps import encoder as enc
+
+        assert enc._orjson is not None, "orjson expected in this env"
+        for s in self.CASES:
+            fast_leaves: list = []
+            obj, fast = enc._loads(s)
+            enc._walk(obj, "", fast_leaves, structurize, fast)
+
+            slow_leaves: list = []
+            slow_obj = json.loads(s, parse_float=enc._RawFloat)
+            enc._walk(slow_obj, "", slow_leaves, structurize, False)
+            assert fast_leaves == slow_leaves, s
+
+    def test_fast_path_taken_for_canonical_records(self):
+        from clp_spark.clps import encoder as enc
+
+        _, fast = enc._loads('{"a":1.5,"b":"x"}')
+        assert fast is True
+        _, fast = enc._loads('{"a":1.50}')
+        assert fast is False
+        _, fast = enc._loads('{ "a": 1 }')
+        assert fast is False
+
+    def test_byte_exact_roundtrip_exponent_and_unicode(self, spark):
+        texts = [
+            (0, '{"a":1e16}'),
+            (1, '{"u":"héllo wörld"}'),
+            (2, '{"a":1.50,"arr":[1,2]}'),
+        ]
+        df = spark.createDataFrame(texts, "rid long, json string")
+        a = encode_json_df(df, "json", passthrough=["rid"])
+        got = {
+            r["rid"]: r["json"]
+            for r in reconstruct_json_df(a).select("rid", "json").collect()
+        }
+        for rid, text in texts:
+            assert got[rid] == text, (rid, got[rid])

@@ -102,6 +102,26 @@ def _docs_sinks(spark: SparkSession, sf_dir: str) -> str:
     return _CORPUS_CACHE[key]
 
 
+def _events_sinks(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted TIME-CARRYING archive: events as a log stream with
+    warc_ts, so compress time-windows the segments and writes the
+    (sink_id, seg_id) zone map — exercises segment-granular + ts
+    zone-map pruning (Query.hpp:103-121; Grep.cpp archive ts ranges)."""
+    key = ("events_sinks", id(spark), sf_dir)
+    if key not in _CORPUS_CACHE:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="clp_entry_evsinks_")
+        ev = _read(spark, sf_dir, "events").select(
+            F.col("event_id").alias("url"),
+            F.col("ts").alias("warc_ts"),
+            F.concat("event_type", F.lit(" "), "props").alias("text"),
+        )
+        compress(spark, ev, out, PipelineConfig(num_checkpoint_buckets=1))
+        _CORPUS_CACHE[key] = out
+    return _CORPUS_CACHE[key]
+
+
 def _events_json_archive(spark, sf):
     # clp_s path: JSON records (typed ints, VarStrings, a ClpString
     # message) → schema tree + typed encode; cached per (session, sf)
@@ -208,6 +228,7 @@ def warm_archives(spark: SparkSession, sf_dir: str) -> None:
     enc2, lt2, vd2 = _events_corpus(spark, sf_dir)
     enc2.count()
     _docs_sinks(spark, sf_dir)
+    _events_sinks(spark, sf_dir)
     _events_json_archive(spark, sf_dir).encoded.count()
 
 
@@ -288,6 +309,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return search_sinks(spark, out, "merge batch").select(
             F.col("url").alias("doc_id")
         )
+
+    def clp_seg_ts_pruned_grep(spark, sf):
+        # persisted archive with time-windowed segments: the ts range
+        # prunes (sink, seg) units via the zone map BEFORE the token
+        # manifests prune further; staged search confirms exactly
+        out = _events_sinks(spark, sf)
+        return search_sinks(
+            spark,
+            out,
+            "*purchase*",
+            ts_range=("2024-01-25 00:00:00", None),
+            ts_col="warc_ts",
+        ).select(F.col("url").alias("event_id"))
 
     def clp_multiline_assembly(spark, sf):
         # line→message assembly (MessageParser.cpp:48-95): synthetic log
@@ -422,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clp_multiline_assembly"] = clp_multiline_assembly
     q["clp_grep_wildvar"] = clp_grep_wildvar
     q["clp_sink_pruned_grep"] = clp_sink_pruned_grep
+    q["clp_seg_ts_pruned_grep"] = clp_seg_ts_pruned_grep
     q["clp_grep_phrase"] = clp_grep_phrase
     q["clp_grep_count"] = clp_grep_count
     q["clp_grep_zero"] = clp_grep_zero
@@ -827,6 +862,11 @@ def oracle_sql() -> dict[str, str]:
         "clp_sink_pruned_grep": (
             "SELECT doc_id FROM documents WHERE text LIKE '%merge batch%'"
         ),
+        "clp_seg_ts_pruned_grep": f"""
+            SELECT event_id FROM events
+            WHERE {ev_msg} LIKE '%purchase%'
+              AND ts >= TIMESTAMP '2024-01-25 00:00:00'
+        """,
         "clp_grep_phrase": (
             "SELECT doc_id FROM documents WHERE text LIKE '%fast table%'"
         ),

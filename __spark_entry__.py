@@ -122,6 +122,37 @@ def _events_sinks(spark: SparkSession, sf_dir: str) -> str:
     return _CORPUS_CACHE[key]
 
 
+def _events_schema_corpus(spark: SparkSession, sf_dir: str):
+    """Schema-defined (DFA-path) compression of the events stream
+    (SchemaSearcher analog): prioritized float/int/hasNumber rules
+    instead of the heuristic tokenizer."""
+    key = ("events_schema", id(spark), sf_dir)
+    if key not in _CORPUS_CACHE:
+        from clp_spark.search.schema_search import (
+            Schema,
+            SchemaRule,
+            schema_compress_df,
+        )
+
+        schema = Schema(
+            rules=[
+                SchemaRule("float", r"-?\d+\.\d+", "float"),
+                SchemaRule("int", r"-?\d+", "int"),
+                SchemaRule(
+                    "hasNumber", r"[a-zA-Z0-9_\.]*\d[a-zA-Z0-9_\.]*", "dict"
+                ),
+            ]
+        )
+        ev = _read(spark, sf_dir, "events").withColumn(
+            "msg", F.concat("event_type", F.lit(" "), "props")
+        )
+        enc, lt, vd = schema_compress_df(
+            ev, schema, text_col="msg", passthrough=["event_id"]
+        )
+        _CORPUS_CACHE[key] = (enc.persist(), lt.persist(), vd.persist(), schema)
+    return _CORPUS_CACHE[key]
+
+
 def _events_json_archive(spark, sf):
     # clp_s path: JSON records (typed ints, VarStrings, a ClpString
     # message) → schema tree + typed encode; cached per (session, sf)
@@ -323,6 +354,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ts_col="warc_ts",
         ).select(F.col("url").alias("event_id"))
 
+    def clp_schema_dfa_grep(spark, sf):
+        # schema/DFA search path: wildcard query compiled by automata
+        # intersection against the schema rules (SchemaSearcher.cpp),
+        # executed by the shared staged executor
+        from clp_spark.search.schema_search import schema_search
+
+        enc, lt, vd, schema = _events_schema_corpus(spark, sf)
+        return schema_search(enc, lt, vd, "* 7*", schema).select("event_id")
+
     def clp_multiline_assembly(spark, sf):
         # line→message assembly (MessageParser.cpp:48-95): synthetic log
         # lines derived from events; every 3rd line is a timestamp-less
@@ -457,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clp_grep_wildvar"] = clp_grep_wildvar
     q["clp_sink_pruned_grep"] = clp_sink_pruned_grep
     q["clp_seg_ts_pruned_grep"] = clp_seg_ts_pruned_grep
+    q["clp_schema_dfa_grep"] = clp_schema_dfa_grep
     q["clp_grep_phrase"] = clp_grep_phrase
     q["clp_grep_count"] = clp_grep_count
     q["clp_grep_zero"] = clp_grep_zero
@@ -867,6 +908,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE {ev_msg} LIKE '%purchase%'
               AND ts >= TIMESTAMP '2024-01-25 00:00:00'
         """,
+        "clp_schema_dfa_grep": (
+            f"SELECT event_id FROM events WHERE {ev_msg} LIKE '% 7%'"
+        ),
         "clp_grep_phrase": (
             "SELECT doc_id FROM documents WHERE text LIKE '%fast table%'"
         ),

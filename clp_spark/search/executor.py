@@ -216,12 +216,17 @@ def search(
     decode: bool = True,
     text_col: str = "text",
     require_var_order: bool = False,
+    precompiled=None,
 ) -> DataFrame:
     """Run a wildcard search over an encoded table. Returns matched rows
     (decoded text appended unless decode=False, in which case the caller
     gets the superset prefilter — useful for count-only pipelines that
-    still confirm later)."""
-    cq = compile_query(query, ignore_case=ignore_case, substring=substring)
+    still confirm later). `precompiled` lets an alternate front-end (the
+    schema/DFA compiler, schema_search.py) supply the CompiledQuery
+    while the staged execution stays shared."""
+    cq = precompiled or compile_query(
+        query, ignore_case=ignore_case, substring=substring
+    )
     df = encoded
 
     # (1) timestamp range — inclusive bounds, pushed to the scan

@@ -459,6 +459,12 @@ def connected_components(
     data stays distributed, and intermediate label frames are persisted
     then replaced (no lineage blow-up).
 
+    The iteration runs over EDGE-ENDPOINT vertices only: in a dedup
+    graph almost every document is a singleton, and a singleton's label
+    can never change — carrying all N ids through every round made each
+    round O(N) instead of O(E + V_edges). Singletons join back in one
+    final pass as their own rep.
+
     `pairs` needs (doc_a, doc_b); `all_ids` one row per document id in
     `id_col` (singletons become their own rep).
     """
@@ -468,9 +474,13 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = all_ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("rep")
-    ).persist()
+    # both edge directions are present, so distinct src = every vertex
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("rep", F.col("id"))
+        .persist()
+    )
     for it in range(max_iters):
         # neighbor's current rep, pulled across each edge
         nbr = (
@@ -504,7 +514,10 @@ def connected_components(
         if not changed:
             break
     edges.unpersist()
-    return labels.select("id", "rep")
+    # singletons (ids with no near-dup edge) are their own rep
+    return all_ids.select(F.col(id_col).alias("id")).join(
+        labels.select("id", "rep"), "id", "left"
+    ).select("id", F.coalesce("rep", F.col("id")).alias("rep"))
 
 
 def embedding_near_dup_pairs(

@@ -167,18 +167,26 @@ def _run_pair(n_small: int, n_big: int, pages_path: str, n_docs: int):
             c = ["taskset", "-c", cpu_list] + c
         return c
 
+    err_small = open(tempfile.mktemp(prefix="clp_scale_err_s_"), "w")
+    err_big = open(tempfile.mktemp(prefix="clp_scale_err_b_"), "w")
     p_small = subprocess.Popen(
         cmd_for(n_small, f"0-{n_small - 1}"),
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        stdout=subprocess.PIPE, stderr=err_small, text=True,
     )
     p_big = subprocess.Popen(
         cmd_for(n_big, f"{n_small}-{n_small + n_big - 1}"),
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        stdout=subprocess.PIPE, stderr=err_big, text=True,
     )
     out_small, _ = p_small.communicate()
     out_big, _ = p_big.communicate()
+    err_small.close()
+    err_big.close()
     if p_small.returncode or p_big.returncode:
-        raise RuntimeError("paired run failed")
+        raise RuntimeError(
+            f"paired run failed (small rc={p_small.returncode} "
+            f"err={err_small.name}; big rc={p_big.returncode} "
+            f"err={err_big.name})"
+        )
     return (
         json.loads(out_small.strip().splitlines()[-1]),
         json.loads(out_big.strip().splitlines()[-1]),
@@ -198,7 +206,7 @@ def main() -> None:
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--run":
         cores, pages_path, nd = int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
-        print(json.dumps(run_once(cores, pages_path, nd)))
+        print(json.dumps(run_once(cores, pages_path, nd), default=str))
         return
 
     from clp_spark.fixtures.pages import generate_pages_df
@@ -252,7 +260,7 @@ def main() -> None:
         "hw_mops_big": [round(c, 1) for c in caps_big],
         "per_sink_exact_match": sinks_equal,
     }
-    print(json.dumps(result))
+    print(json.dumps(result, default=str))
 
     md = f"""# BENCH — scaling evidence (north rule)
 

@@ -394,6 +394,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_lines").cast("long").alias("n_lines"),
         )
 
+    def clp_stream_assembly(spark, sf):
+        # STREAMING multi-line assembly (applyInPandasWithState, SURVEY
+        # §2.9): the same derived log lines arrive in two micro-batches;
+        # messages straddling the batch boundary complete in batch 2;
+        # each file's final message stays buffered in state (a live tail
+        # can't know it is complete), so the emitted set is the batch
+        # assembly minus the last message per file.
+        key = ("stream_asm", id(spark), sf)
+        if key not in _CORPUS_CACHE:
+            import tempfile
+
+            from clp_spark.streaming.assemble import (
+                OUT_SCHEMA,
+                stream_assemble_messages,
+            )
+
+            ev = _read(spark, sf, "events")
+            lines = ev.select(
+                (F.col("event_id") % 10).cast("string").alias("file"),
+                F.col("event_id").alias("line_no"),
+                F.when(
+                    F.col("event_id") % 3 == 0,
+                    F.concat(F.lit("    at frame "), F.col("event_id")),
+                )
+                .otherwise(
+                    F.concat(
+                        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                        F.lit(" "),
+                        F.col("event_type"),
+                    )
+                )
+                .alias("line"),
+            )
+            mid = lines.agg(F.max("line_no")).collect()[0][0] // 2
+            base = tempfile.mkdtemp(prefix="clp_entry_stream_asm_")
+            src = os.path.join(base, "src")
+            sink = os.path.join(base, "sink")
+            ckpt = os.path.join(base, "ckpt")
+
+            def drain():
+                stream = spark.readStream.schema(
+                    "file string, line_no long, line string"
+                ).parquet(src + "/*")
+                qy = (
+                    stream_assemble_messages(stream)
+                    .writeStream.format("parquet")
+                    .outputMode("append")
+                    .option("path", sink)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                qy.awaitTermination(300)
+
+            lines.filter(F.col("line_no") <= mid).coalesce(1).write.parquet(
+                os.path.join(src, "c1")
+            )
+            drain()
+            lines.filter(F.col("line_no") > mid).coalesce(1).write.parquet(
+                os.path.join(src, "c2")
+            )
+            drain()
+            _CORPUS_CACHE[key] = (sink, OUT_SCHEMA)
+        sink, out_schema = _CORPUS_CACHE[key]
+        return spark.read.schema(out_schema).parquet(sink).select(
+            "file", "msg_idx", "message", F.col("n_lines").cast("long").alias("n_lines")
+        )
+
     def clp_json_typed_filter(spark, sf):
         # KQL-style 'k < 50 AND type: "click"' over the encoded archive
         from clp_spark.clps import json_filter
@@ -494,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clp_json_clpstring_eq"] = clp_json_clpstring_eq
     q["clp_json_roundtrip"] = clp_json_roundtrip
     q["clp_multiline_assembly"] = clp_multiline_assembly
+    q["clp_stream_assembly"] = clp_stream_assembly
     q["clp_grep_wildvar"] = clp_grep_wildvar
     q["clp_sink_pruned_grep"] = clp_sink_pruned_grep
     q["clp_seg_ts_pruned_grep"] = clp_seg_ts_pruned_grep
@@ -911,6 +980,36 @@ def oracle_sql() -> dict[str, str]:
         "clp_schema_dfa_grep": (
             f"SELECT event_id FROM events WHERE {ev_msg} LIKE '% 7%'"
         ),
+        "clp_stream_assembly": """
+            WITH lines AS (
+              SELECT CAST(event_id % 10 AS VARCHAR) AS file,
+                     event_id AS line_no,
+                     CASE WHEN event_id % 3 = 0
+                          THEN '    at frame ' || event_id
+                          ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') || ' ' || event_type
+                     END AS line,
+                     CASE WHEN event_id % 3 = 0 THEN 0 ELSE 1 END AS has_ts
+              FROM events),
+            idx AS (
+              SELECT file, line_no, line,
+                     sum(has_ts) OVER (PARTITION BY file ORDER BY line_no) AS mi
+              FROM lines),
+            grouped AS (
+              SELECT file, mi,
+                     string_agg(line, chr(10) ORDER BY line_no) AS message,
+                     count(*) AS n_lines
+              FROM idx GROUP BY file, mi),
+            shifted AS (
+              SELECT file,
+                     CAST(mi - min(mi) OVER (PARTITION BY file) AS BIGINT)
+                         AS msg_idx,
+                     message, n_lines
+              FROM grouped)
+            SELECT file, msg_idx, message, CAST(n_lines AS BIGINT) AS n_lines
+            FROM shifted s
+            WHERE msg_idx < (SELECT max(s2.msg_idx) FROM shifted s2
+                             WHERE s2.file = s.file)
+        """,
         "clp_grep_phrase": (
             "SELECT doc_id FROM documents WHERE text LIKE '%fast table%'"
         ),

@@ -114,3 +114,95 @@ def test_stream_count_by_time(spark, stream_dirs):
         .collect()
     }
     assert got == want and len(want) > 1
+
+
+def test_stream_assemble_messages(spark, stream_dirs):
+    """Custom stateful operator (applyInPandasWithState): multi-line
+    assembly across micro-batch boundaries. A message completed by a
+    ts line in a LATER batch must emit then, with the same content and
+    numbering as the batch assembler; trailing partials stay in state."""
+    from clp_spark.parse.assemble import assemble_messages, split_lines
+    from clp_spark.streaming.assemble import OUT_SCHEMA, stream_assemble_messages
+
+    src, out = stream_dirs
+    ckpt = os.path.join(out, "_ckpt_asm")
+
+    # synthetic multi-line logs: every 3rd line is a ts-less continuation
+    files = []
+    for f in range(6):
+        lines = []
+        for i in range(30):
+            if i % 3 == 2:
+                lines.append(f"  at frame_{f}_{i} (stack.py:{i})")
+            else:
+                lines.append(f"2024-01-0{(i % 9) + 1} 10:0{i % 10}:00 f{f} event {i}")
+        files.append((f"file_{f}", lines))
+
+    LINES_SCHEMA = "file string, line_no long, line string"
+    all_rows = [
+        (f, i, ln) for f, lines in files for i, ln in enumerate(lines)
+    ]
+    half = {f: len(lines) // 2 for f, lines in files}
+    chunk1 = [(f, i, ln) for f, i, ln in all_rows if i < half[f]]
+    chunk2 = [(f, i, ln) for f, i, ln in all_rows if i >= half[f]]
+
+    sink = os.path.join(out, "assembled")
+
+    def run_once():
+        before = (
+            set()
+            if not os.path.isdir(sink)
+            else {
+                (r["file"], r["msg_idx"])
+                for r in spark.read.schema(OUT_SCHEMA).parquet(sink).collect()
+            }
+        )
+        stream = spark.readStream.schema(LINES_SCHEMA).parquet(src + "/*")
+        q = (
+            stream_assemble_messages(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            r
+            for r in spark.read.schema(OUT_SCHEMA).parquet(sink).collect()
+            if (r["file"], r["msg_idx"]) not in before
+        ]
+
+    spark.createDataFrame(chunk1, LINES_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "c1"))
+    got1 = run_once()
+
+    spark.createDataFrame(chunk2, LINES_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "c2"))
+    got2 = run_once()
+
+    got = {(r["file"], r["msg_idx"]): (r["message"], r["n_lines"]) for r in got1}
+    for r in got2:
+        key = (r["file"], r["msg_idx"])
+        assert key not in got, f"duplicate emission {key}"
+        got[key] = (r["message"], r["n_lines"])
+
+    # batch oracle over the SAME lines; streaming can't know the last
+    # message of each file is complete, so exclude it per file
+    lines_df = spark.createDataFrame(all_rows, LINES_SCHEMA)
+    batch = assemble_messages(lines_df).collect()
+    last_idx = {}
+    for r in batch:
+        last_idx[r["file"]] = max(last_idx.get(r["file"], -1), r["msg_idx"])
+    want = {
+        (r["file"], r["msg_idx"]): (r["message"], r["n_lines"])
+        for r in batch
+        if r["msg_idx"] < last_idx[r["file"]]
+    }
+    assert got == want
+    # cross-batch case really happened: messages straddling the chunk
+    # boundary were emitted by the second run
+    assert len(got1) > 0 and len(got2) > 0

@@ -255,9 +255,12 @@ def warm_archives(spark: SparkSession, sf_dir: str) -> None:
     shuffle files, and the page cache — hot-cache repeats reported as
     query latency)."""
     enc, lt, vd = _docs_corpus(spark, sf_dir)
-    enc.count()  # materialize the persisted frames
+    # materialize ALL archive frames, dictionaries included (CLP loads
+    # dictionaries when opening an archive); the query-time driver index
+    # build + dict scans stay timed
+    enc.count(), lt.count(), vd.count()
     enc2, lt2, vd2 = _events_corpus(spark, sf_dir)
-    enc2.count()
+    enc2.count(), lt2.count(), vd2.count()
     _docs_sinks(spark, sf_dir)
     _events_sinks(spark, sf_dir)
     _events_json_archive(spark, sf_dir).encoded.count()

@@ -122,6 +122,42 @@ def _events_sinks(spark: SparkSession, sf_dir: str) -> str:
     return _CORPUS_CACHE[key]
 
 
+def _events_json_ri_archive(spark: SparkSession, sf_dir: str):
+    """JSON archive with a metadata RANGE INDEX: each 250-event run is
+    one 'source file' ($_filename / $_file_split_number), contiguous in
+    event_id — metadata is not stored per row; '$'-filters rewrite to
+    event_id ranges (EvaluateRangeIndexFilters analog)."""
+    key = ("json_ri", id(spark), sf_dir)
+    if key not in _CORPUS_CACHE:
+        from clp_spark.clps import encode_json_df
+
+        ev = _read(spark, sf_dir, "events")
+        j = ev.select(
+            "event_id",
+            F.concat(
+                F.lit("part"), F.floor(F.col("event_id") / 250), F.lit(".log")
+            ).alias("_filename"),
+            F.floor(F.col("event_id") / 250).alias("_file_split_number"),
+            F.to_json(
+                F.struct(
+                    F.col("event_type").alias("type"),
+                    F.col("user_id").alias("uid"),
+                )
+            ).alias("json"),
+        )
+        a = encode_json_df(
+            j,
+            "json",
+            passthrough=["event_id"],
+            range_index_fields=["_filename", "_file_split_number"],
+            range_index_idx_col="event_id",
+        )
+        a.encoded = a.encoded.persist()
+        a.encoded.count()
+        _CORPUS_CACHE[key] = a
+    return _CORPUS_CACHE[key]
+
+
 def _events_schema_corpus(spark: SparkSession, sf_dir: str):
     """Schema-defined (DFA-path) compression of the events stream
     (SchemaSearcher analog): prioritized float/int/hasNumber rules
@@ -397,6 +433,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_lines").cast("long").alias("n_lines"),
         )
 
+    def clp_json_range_index_filter(spark, sf):
+        # '$'-namespace metadata filter → row-index range rewrite
+        # (EvaluateRangeIndexFilters.cpp) combined with a typed predicate
+        from clp_spark.clps import kql_query
+
+        a = _events_json_ri_archive(spark, sf)
+        return kql_query(
+            a, '$_filename: "part3.log" AND type: "error"'
+        ).select("event_id")
+
     def clp_stream_assembly(spark, sf):
         # STREAMING multi-line assembly (applyInPandasWithState, SURVEY
         # §2.9): the same derived log lines arrive in two micro-batches;
@@ -566,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clp_json_roundtrip"] = clp_json_roundtrip
     q["clp_multiline_assembly"] = clp_multiline_assembly
     q["clp_stream_assembly"] = clp_stream_assembly
+    q["clp_json_range_index_filter"] = clp_json_range_index_filter
     q["clp_grep_wildvar"] = clp_grep_wildvar
     q["clp_sink_pruned_grep"] = clp_sink_pruned_grep
     q["clp_seg_ts_pruned_grep"] = clp_seg_ts_pruned_grep
@@ -983,6 +1030,11 @@ def oracle_sql() -> dict[str, str]:
         "clp_schema_dfa_grep": (
             f"SELECT event_id FROM events WHERE {ev_msg} LIKE '% 7%'"
         ),
+        "clp_json_range_index_filter": """
+            SELECT event_id FROM events
+            WHERE CAST(floor(event_id / 250) AS BIGINT) = 3
+              AND event_type = 'error'
+        """,
         "clp_stream_assembly": """
             WITH lines AS (
               SELECT CAST(event_id % 10 AS VARCHAR) AS file,

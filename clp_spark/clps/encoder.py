@@ -302,7 +302,8 @@ class JsonArchive:
     dicts, typed tables)."""
 
     def __init__(self, encoded, tree, schema_map, logtype_dict, var_dict,
-                 node_map, schema_ids):
+                 node_map, schema_ids, range_index=None,
+                 range_index_idx_col=None):
         self.encoded = encoded            # DF: passthrough + schema_id + node_ids + jvals
         self.tree = tree                  # DF: node_id, path, tag
         self.schema_map = schema_map      # DF: schema_id, node_ids
@@ -310,6 +311,12 @@ class JsonArchive:
         self.var_dict = var_dict          # DF: var_id, value
         self.node_map = node_map          # {(path, tag): node_id}
         self.schema_ids = schema_ids      # {tuple(node_ids): schema_id}
+        # metadata range index (RangeIndexEntry analog,
+        # archive_constants.hpp:40-45): per source file, the metadata
+        # fields + the contiguous [idx_min, idx_max] row-index range it
+        # occupies. '$'-namespace KQL filters rewrite against it.
+        self.range_index = range_index    # list[{"fields", "idx_min", "idx_max"}] | None
+        self.range_index_idx_col = range_index_idx_col
 
     def save(self, out_dir: str) -> None:
         """Persist the archive (ArchiveWriter analog: schema_tree,
@@ -331,12 +338,28 @@ class JsonArchive:
             os.path.join(out_dir, "log_dict")
         )
         self.var_dict.write.mode("overwrite").parquet(os.path.join(out_dir, "var_dict"))
+        if self.range_index is not None:
+            with open(os.path.join(out_dir, "range_index.json"), "w") as f:
+                json.dump(
+                    {
+                        "idx_col": self.range_index_idx_col,
+                        "entries": self.range_index,
+                    },
+                    f,
+                )
 
     @classmethod
     def load(
         cls, spark, out_dir: str, driver_dict_cap: int = 300_000
     ) -> "JsonArchive":
         import os
+
+        range_index = range_idx_col = None
+        ri_path = os.path.join(out_dir, "range_index.json")
+        if os.path.exists(ri_path):
+            with open(ri_path) as f:
+                ri = json.load(f)
+            range_index, range_idx_col = ri["entries"], ri["idx_col"]
 
         tree = spark.read.parquet(os.path.join(out_dir, "schema_tree"))
         schema_map = spark.read.parquet(os.path.join(out_dir, "schema_map"))
@@ -356,7 +379,50 @@ class JsonArchive:
             spark.read.parquet(os.path.join(out_dir, "var_dict")),
             node_map,
             schema_ids,
+            range_index=range_index,
+            range_index_idx_col=range_idx_col,
         )
+
+
+def build_range_index(
+    df: DataFrame, fields: list[str], idx_col: str, cap: int = 100_000
+) -> list[dict]:
+    """Metadata range index (RangeIndexEntry analog): one entry per
+    distinct metadata tuple = per ingested file, carrying the
+    [idx_min, idx_max] row-index range it occupies. Exactness of the
+    '$'-filter rewrite requires the ranges be pairwise DISJOINT (each
+    file a contiguous idx run — the reference's log_event_idx is
+    assigned in ingest order, which guarantees it); validated here.
+
+    One distributed groupBy over (fields); the collected result is one
+    row per source file — driver-small by construction."""
+    rows = (
+        df.groupBy(*fields)
+        .agg(F.min(idx_col).alias("_lo"), F.max(idx_col).alias("_hi"))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        raise ValueError(f"range index exceeds {cap} entries")
+    entries = [
+        {
+            "fields": {f: r[f] for f in fields},
+            "idx_min": r["_lo"],
+            "idx_max": r["_hi"],
+        }
+        for r in rows
+    ]
+    entries.sort(key=lambda e: e["idx_min"])
+    for a, b in zip(entries, entries[1:]):
+        if b["idx_min"] <= a["idx_max"]:
+            raise ValueError(
+                "range-index intervals interleave "
+                f"({a['fields']} [{a['idx_min']},{a['idx_max']}] vs "
+                f"{b['fields']} [{b['idx_min']},{b['idx_max']}]): "
+                f"'{idx_col}' must be contiguous per metadata tuple "
+                "(ingest-order row index)"
+            )
+    return entries
 
 
 def encode_json_df(
@@ -365,6 +431,8 @@ def encode_json_df(
     passthrough: list[str] | None = None,
     driver_dict_cap: int = 300_000,
     structurize_arrays: bool = False,
+    range_index_fields: list[str] | None = None,
+    range_index_idx_col: str | None = None,
 ) -> JsonArchive:
     """Compress a JSON-string column clp_s-style. Returns a JsonArchive.
 
@@ -380,6 +448,20 @@ def encode_json_df(
     spark = df.sparkSession
     if passthrough is None:
         passthrough = [c for c in df.columns if c != json_col]
+
+    # metadata range index (built from the INPUT frame — metadata fields
+    # are deliberately NOT stored per encoded row, that's the point)
+    _ri = None
+    if range_index_fields:
+        if range_index_idx_col is None:
+            raise ValueError("range_index_fields needs range_index_idx_col")
+        _ri = build_range_index(df, range_index_fields, range_index_idx_col)
+
+    def _finish(a: JsonArchive) -> JsonArchive:
+        a.range_index = _ri
+        a.range_index_idx_col = range_index_idx_col if _ri else None
+        return a
+
     # localCheckpoint: materialized once for the (up to 5) passes below;
     # storage reclaimed when the archive's plans are GC'd (no persist pin)
     parsed = _parse_records(
@@ -393,7 +475,9 @@ def encode_json_df(
         ex.select("l.key", "l.tag").distinct().limit(driver_dict_cap + 1).collect()
     )
     if len(node_rows) > driver_dict_cap:
-        return _encode_json_distributed(parsed, passthrough, driver_dict_cap)
+        return _finish(
+            _encode_json_distributed(parsed, passthrough, driver_dict_cap)
+        )
     node_map = {
         (r["key"], r["tag"]): i
         for i, r in enumerate(
@@ -427,7 +511,9 @@ def encode_json_df(
         var_whole.union(var_clp).distinct().limit(driver_dict_cap + 1).collect()
     )
     if len(lt_rows) > driver_dict_cap or len(var_rows) > driver_dict_cap:
-        return _encode_json_distributed(parsed, passthrough, driver_dict_cap)
+        return _finish(
+            _encode_json_distributed(parsed, passthrough, driver_dict_cap)
+        )
     lt_map = {v: i for i, v in enumerate(sorted(r["logtype"] for r in lt_rows))}
     v_map = {v: i for i, v in enumerate(sorted(r["value"] for r in var_rows))}
     logtype_dict = spark.createDataFrame(
@@ -456,7 +542,9 @@ def encode_json_df(
         .collect()
     )
     if len(sk_rows) > driver_dict_cap:
-        return _encode_json_distributed(parsed, passthrough, driver_dict_cap)
+        return _finish(
+            _encode_json_distributed(parsed, passthrough, driver_dict_cap)
+        )
     schema_ids = {
         tuple(int(x) for x in sk.split(",") if x): i
         for i, sk in enumerate(sorted(r["sk"] for r in sk_rows))
@@ -517,8 +605,10 @@ def encode_json_df(
             yield out
 
     encoded = parsed.mapInPandas(encode, schema=out_schema)
-    return JsonArchive(
-        encoded, tree, schema_map, logtype_dict, var_dict, node_map, schema_ids
+    return _finish(
+        JsonArchive(
+            encoded, tree, schema_map, logtype_dict, var_dict, node_map, schema_ids
+        )
     )
 
 

@@ -34,7 +34,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from clp_spark.clps.encoder import JsonArchive
-from clp_spark.clps.search import json_predicate, schema_candidates
+from clp_spark.clps.search import (
+    _has_wildcard as _has_wc,
+    json_predicate,
+    schema_candidates,
+)
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
@@ -166,9 +170,54 @@ class _Parser:
         return ".".join(self.prefix + [path]) if self.prefix else path
 
     def _pred(self, path: str, op: str, value) -> Column:
-        pred, nodes = json_predicate(self.archive, self._full_path(path), op, value)
+        full = self._full_path(path)
+        if full.startswith("$"):
+            return self._range_index_pred(full[1:], op, value)
+        pred, nodes = json_predicate(self.archive, full, op, value)
         self.prune_nodes += nodes
         return pred
+
+    def _range_index_pred(self, field: str, op: str, value) -> Column:
+        """'$'-namespace metadata filter → row-index range predicate
+        (EvaluateRangeIndexFilters.{hpp,cpp}: filters on range-index
+        fields like _filename rewrite into log_event_idx ranges; no
+        matching range → EmptyExpr). The rewritten predicate is a plain
+        comparison on the archive's idx column, so parquet min/max
+        pushdown prunes row groups — metadata is never stored per row."""
+        from clp_spark.search.wildcard import wildcard_match
+
+        ri = self.archive.range_index
+        if ri is None:
+            raise ValueError(
+                f"query references ${field} but the archive has no "
+                "range index (encode with range_index_fields=...)"
+            )
+
+        def _matches(v) -> bool:
+            if v is None:
+                return False
+            if op == "eq":
+                if isinstance(value, str) and isinstance(v, str):
+                    if _has_wc(value):
+                        return wildcard_match(value, v)
+                    return v == value
+                return v == value
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                return False
+            return {
+                "gt": v > value,
+                "gte": v >= value,
+                "lt": v < value,
+                "lte": v <= value,
+            }[op]
+
+        idx = F.col(self.archive.range_index_idx_col)
+        pred = None
+        for entry in ri:
+            if _matches(entry["fields"].get(field)):
+                p = (idx >= entry["idx_min"]) & (idx <= entry["idx_max"])
+                pred = p if pred is None else (pred | p)
+        return F.lit(False) if pred is None else pred
 
     def _timestamp_value(self) -> int:
         """Consume 'timestamp' '(' "ts" [',' "pattern"] ')' (the word

@@ -426,3 +426,75 @@ class TestFastParsePath:
         }
         for rid, text in texts:
             assert got[rid] == text, (rid, got[rid])
+
+
+class TestRangeIndexFilters:
+    """'$'-namespace metadata filters rewrite into row-index range
+    predicates (EvaluateRangeIndexFilters.{hpp,cpp}; fields per
+    archive_constants.hpp:40-45 range_index namespace)."""
+
+    @pytest.fixture(scope="class")
+    def ri_archive(self, spark):
+        rows = []
+        for rid in range(300):
+            fname = f"srv{rid // 100}.log"   # 3 contiguous idx ranges
+            rows.append((rid, fname, rid // 100, f'{{"k":{rid % 7},"t":"m {rid}"}}'))
+        df = spark.createDataFrame(
+            rows, "rid long, _filename string, _file_split_number long, json string"
+        )
+        a = encode_json_df(
+            df,
+            "json",
+            passthrough=["rid"],
+            range_index_fields=["_filename", "_file_split_number"],
+            range_index_idx_col="rid",
+        )
+        a.encoded = a.encoded.persist()
+        a.encoded.count()
+        return a
+
+    def test_filename_eq(self, ri_archive):
+        from clp_spark.clps import kql_query
+
+        got = _ids(kql_query(ri_archive, '$_filename: "srv1.log"'))
+        assert got == list(range(100, 200))
+
+    def test_filename_wildcard_and_combined(self, ri_archive):
+        from clp_spark.clps import kql_query
+
+        got = _ids(kql_query(ri_archive, '$_filename: "srv*" AND k: 3'))
+        assert got == [r for r in range(300) if r % 7 == 3]
+
+    def test_no_match_is_empty(self, ri_archive):
+        from clp_spark.clps import kql_query
+
+        assert kql_query(ri_archive, '$_filename: "nope.log"').count() == 0
+
+    def test_split_number_range(self, ri_archive):
+        from clp_spark.clps import kql_query
+
+        got = _ids(kql_query(ri_archive, "$_file_split_number >= 2"))
+        assert got == list(range(200, 300))
+
+    def test_interleaved_idx_rejected(self, spark):
+        rows = [(i, f"f{i % 2}.log", '{"a":1}') for i in range(10)]
+        df = spark.createDataFrame(rows, "rid long, _filename string, json string")
+        with pytest.raises(ValueError, match="interleave"):
+            encode_json_df(
+                df,
+                "json",
+                passthrough=["rid"],
+                range_index_fields=["_filename"],
+                range_index_idx_col="rid",
+            )
+
+    def test_save_load_preserves_range_index(self, spark, ri_archive, tmp_path):
+        from clp_spark.clps import kql_query
+        from clp_spark.clps.encoder import JsonArchive
+
+        out = str(tmp_path / "ri_arch")
+        ri_archive.save(out)
+        loaded = JsonArchive.load(spark, out)
+        assert loaded.range_index_idx_col == "rid"
+        got = _ids(kql_query(loaded, '$_filename: "srv2.log"'))
+        assert got == list(range(200, 300))

@@ -90,6 +90,12 @@ def test_regen_reparses_to_same_value(ts_ms, pid):
     pat = TS_PATTERNS[pid]
     if pat.num_spaces > 0:
         return  # prefixed patterns regenerate only the ts span
+    if pat.fmt == "%#3" and ts_ms == 0:
+        # unrepresentable in BOTH systems: the reference rejects a
+        # leading '0' for relative timestamps (TimestampPattern.cpp:654
+        # "Leading zeroes are not currently supported"), so "0" never
+        # matches and regen(0) has no reparseable form
+        return
     text = pat.regen(ts_ms) + " tail"
     got_pid, got_ts, _prefix, rest = match_leading_timestamp(text)
     assert rest == " tail" or rest.endswith(" tail")

@@ -98,6 +98,15 @@ def main() -> None:
     compress(spark, pages, out, PipelineConfig(num_checkpoint_buckets=1))
     pipeline_wall = time.time() - t0
     shutil.rmtree(out, ignore_errors=True)
+    # second, fresh-dir run: the sandbox host's hypervisor steal swings
+    # single-run walls by ±30%; the repeat gives the reader a same-moment
+    # second sample (headline wall_sec stays the FIRST run — accounting
+    # unchanged across rounds)
+    out2 = tempfile.mkdtemp(prefix="clp_bench2_")
+    t0 = time.time()
+    compress(spark, pages, out2, PipelineConfig(num_checkpoint_buckets=1))
+    pipeline_wall2 = time.time() - t0
+    shutil.rmtree(out2, ignore_errors=True)
     pages.unpersist()
 
     total = round(sum(times.values()) + pipeline_wall, 3)
@@ -114,6 +123,8 @@ def main() -> None:
             "wall_sec": round(pipeline_wall, 3),
             "docs_per_sec": round(n_pages / pipeline_wall, 1),
             "mb_per_sec": round(raw_bytes / 1e6 / pipeline_wall, 2),
+            "wall_sec_repeat": round(pipeline_wall2, 3),
+            "docs_per_sec_repeat": round(n_pages / pipeline_wall2, 1),
         },
         "archive_build_sec": archive_build_sec,
         "cpus": cpus,

@@ -36,6 +36,13 @@ from clp_spark.search.executor import _DictIndex, _has_meta, _load_index, search
 # "no segment pruning" (still exact — row-level stages remain)
 _MAX_DRIVER_MANIFEST_PAIRS = 4_000_000
 
+# collected manifest maps, keyed by manifest DIRECTORY (stable across
+# queries, unlike DataFrame ids) — CLP likewise keeps segment indexes
+# in memory across queries; bounded LRU so old archives drop out
+from clp_spark.util import LruCache
+
+_MANIFEST_CACHE: LruCache = LruCache(maxsize=8)
+
 
 def _unit_cols(df: DataFrame) -> list[str]:
     """Prune-unit key: (sink_id, seg_id) when segments exist, else
@@ -109,6 +116,28 @@ def _token_units(
     return out
 
 
+def _prune_from_pairs(
+    cq: CompiledQuery,
+    idx: _DictIndex,
+    lt: tuple | None,
+    var: tuple | None,
+    unit_cols: list[str],
+) -> tuple[list, list[str]] | None:
+    """(surviving prune units, unit column names) from already-collected
+    manifest maps; None = cannot prune."""
+    if cq.match_all or idx is None or lt is None:
+        return None
+    lt_units, _ = lt
+    var_units = var[0] if var is not None else None
+    surviving: set | None = None
+    for tp in cq.tokens:
+        s = _token_units(tp, idx, cq.ignore_case, lt_units, var_units)
+        if s is None:
+            continue
+        surviving = s if surviving is None else (surviving & s)
+    return None if surviving is None else (sorted(surviving), unit_cols)
+
+
 def prune_segment_units(
     cq: CompiledQuery,
     idx: _DictIndex,
@@ -118,22 +147,9 @@ def prune_segment_units(
     """(surviving prune units, unit column names); None = cannot prune."""
     if cq.match_all or idx is None:
         return None
-    unit_cols = _unit_cols(lt_manifest)
     lt = _collect_pairs(lt_manifest, "logtype_id")
-    if lt is None:
-        return None
-    lt_units, _ = lt
-    var_units = None
-    if var_manifest is not None:
-        v = _collect_pairs(var_manifest, "var_id")
-        var_units = v[0] if v is not None else None
-    surviving: set | None = None
-    for tp in cq.tokens:
-        s = _token_units(tp, idx, cq.ignore_case, lt_units, var_units)
-        if s is None:
-            continue
-        surviving = s if surviving is None else (surviving & s)
-    return None if surviving is None else (sorted(surviving), unit_cols)
+    var = _collect_pairs(var_manifest, "var_id") if var_manifest is not None else None
+    return _prune_from_pairs(cq, idx, lt, var, _unit_cols(lt_manifest))
 
 
 def prune_sink_ids(
@@ -192,6 +208,46 @@ def ts_surviving_units(
     return [tuple(r[c] for c in unit_cols) for r in rows], unit_cols
 
 
+def _ts_units_cached(spark: SparkSession, seg_dir: str, ts_range: tuple):
+    """ts_surviving_units over a CACHED zone map: the segments table is
+    one row per (sink, seg) — collect it once per archive, filter the
+    driver-side copy per query (zone-map compares are trivial)."""
+    cached = _MANIFEST_CACHE.get(("segments", seg_dir))
+    if cached is None:
+        seg = spark.read.parquet(seg_dir)
+        if "ts_min" not in seg.columns:
+            cached = (None, _unit_cols(seg))
+        else:
+            unit_cols = _unit_cols(seg)
+            rows = [
+                (tuple(r[c] for c in unit_cols), r["ts_min"], r["ts_max"])
+                for r in seg.select(*unit_cols, "ts_min", "ts_max").collect()
+            ]
+            cached = (rows, unit_cols)
+        _MANIFEST_CACHE.put(("segments", seg_dir), cached)
+    rows, unit_cols = cached
+    if rows is None:
+        return None
+    lo, hi = ts_range
+    import datetime
+
+    def _cmp_key(v):
+        # ts bounds may arrive as ISO strings (executor semantics allow
+        # string/timestamp comparison); normalize for the driver compare
+        if isinstance(v, str):
+            return datetime.datetime.fromisoformat(v)
+        return v
+
+    lo_k = _cmp_key(lo) if lo is not None else None
+    hi_k = _cmp_key(hi) if hi is not None else None
+    out = [
+        u
+        for u, tmin, tmax in rows
+        if (lo_k is None or tmax >= lo_k) and (hi_k is None or tmin <= hi_k)
+    ]
+    return out, unit_cols
+
+
 def search_sinks(
     spark: SparkSession,
     out_dir: str,
@@ -217,15 +273,24 @@ def search_sinks(
         if not cq.match_all:
             idx = _load_index(lt_dict, v_dict)
             if idx is not None:
-                lt_man = spark.read.parquet(os.path.join(man_dir, "logtype"))
-                var_man = spark.read.parquet(os.path.join(man_dir, "var"))
-                r = prune_segment_units(cq, idx, lt_man, var_man)
+                cached = _MANIFEST_CACHE.get(man_dir)
+                if cached is None:
+                    lt_man = spark.read.parquet(os.path.join(man_dir, "logtype"))
+                    var_man = spark.read.parquet(os.path.join(man_dir, "var"))
+                    cached = (
+                        _collect_pairs(lt_man, "logtype_id"),
+                        _collect_pairs(var_man, "var_id"),
+                        _unit_cols(lt_man),
+                    )
+                    _MANIFEST_CACHE.put(man_dir, cached)
+                lt_pairs, var_pairs, man_cols = cached
+                r = _prune_from_pairs(cq, idx, lt_pairs, var_pairs, man_cols)
                 if r is not None:
                     units, unit_cols = set(r[0]), r[1]
         ts_range = kwargs.get("ts_range")
         seg_dir = os.path.join(man_dir, "segments")
         if ts_range is not None and os.path.isdir(seg_dir):
-            r = ts_surviving_units(spark.read.parquet(seg_dir), ts_range)
+            r = _ts_units_cached(spark, seg_dir, ts_range)
             if r is not None:
                 ts_units, ts_cols = set(r[0]), r[1]
                 if units is None:

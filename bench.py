@@ -82,6 +82,14 @@ def main() -> None:
         times_warm[name] = round(time.time() - t0, 3)
 
     # ---- pipeline throughput: parse → dicts → encode → route → metrics ----
+    # release the query corpora first: the pipeline measurement should
+    # not pay the queries' persisted frames' memory pressure
+    try:
+        em._CORPUS_CACHE.clear()
+    except Exception:
+        pass
+    spark.catalog.clearCache()
+
     from clp_spark.config import PipelineConfig
     from clp_spark.fixtures.pages import generate_pages_df
     from clp_spark.pipeline import compress

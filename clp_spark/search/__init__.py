@@ -11,6 +11,7 @@ from clp_spark.search.schema_search import (
     schema_compress_df,
     schema_search,
 )
+from clp_spark.search.sinks import search_archives, search_sinks
 from clp_spark.search.wildcard import wildcard_match, wildcard_to_regex
 
 __all__ = [
@@ -23,6 +24,8 @@ __all__ = [
     "schema_compress_df",
     "schema_search",
     "search",
+    "search_archives",
+    "search_sinks",
     "wildcard_match",
     "wildcard_to_regex",
 ]

@@ -248,6 +248,94 @@ def _ts_units_cached(spark: SparkSession, seg_dir: str, ts_range: tuple):
     return out, unit_cols
 
 
+def surviving_unit_filter(
+    spark: SparkSession,
+    out_dir: str,
+    query: str,
+    ignore_case: bool = False,
+    substring: bool = True,
+    ts_range: tuple | None = None,
+):
+    """(predicate | None, provably_empty) for one archive: the combined
+    token-manifest + ts-zone-map prune. predicate None = cannot prune;
+    provably_empty = the archive cannot contain matches at all."""
+    import os as _os
+
+    lt_dict = spark.read.parquet(_os.path.join(out_dir, "dicts", "logtype"))
+    v_dict = spark.read.parquet(_os.path.join(out_dir, "dicts", "var"))
+    cq = compile_query(query, ignore_case=ignore_case, substring=substring)
+    man_dir = _os.path.join(out_dir, "manifest")
+    if not _os.path.isdir(man_dir):
+        return None, False
+    units: set | None = None
+    unit_cols: list[str] | None = None
+    if not cq.match_all:
+        idx = _load_index(lt_dict, v_dict)
+        if idx is not None:
+            cached = _MANIFEST_CACHE.get(man_dir)
+            if cached is None:
+                lt_man = spark.read.parquet(_os.path.join(man_dir, "logtype"))
+                var_man = spark.read.parquet(_os.path.join(man_dir, "var"))
+                cached = (
+                    _collect_pairs(lt_man, "logtype_id"),
+                    _collect_pairs(var_man, "var_id"),
+                    _unit_cols(lt_man),
+                )
+                _MANIFEST_CACHE.put(man_dir, cached)
+            lt_pairs, var_pairs, man_cols = cached
+            r = _prune_from_pairs(cq, idx, lt_pairs, var_pairs, man_cols)
+            if r is not None:
+                units, unit_cols = set(r[0]), r[1]
+    seg_dir = _os.path.join(man_dir, "segments")
+    if ts_range is not None and _os.path.isdir(seg_dir):
+        r = _ts_units_cached(spark, seg_dir, ts_range)
+        if r is not None:
+            ts_units, ts_cols = set(r[0]), r[1]
+            if units is None:
+                units, unit_cols = ts_units, ts_cols
+            elif unit_cols == ts_cols:
+                units &= ts_units
+    if units is None:
+        return None, False
+    if not units:
+        return F.lit(False), True
+    return unit_filter(sorted(units), unit_cols), False
+
+
+def search_archives(
+    spark: SparkSession,
+    out_dirs: list,
+    query: str,
+    **kwargs,
+) -> DataFrame:
+    """Federated search across MANY compress() archives — the clg CLI's
+    ARCHIVES-DIR shape (each archive searched with its own dictionaries;
+    results unioned: Grep.cpp's per-archive loop). Archives whose
+    manifests prove zero candidates are skipped WITHOUT submitting any
+    Spark job — the archive-level prune the reference's metadata DB
+    provides (ts ranges + segment indexes)."""
+    parts: list[DataFrame] = []
+    for d in out_dirs:
+        pred, empty = surviving_unit_filter(
+            spark,
+            d,
+            query,
+            ignore_case=kwargs.get("ignore_case", False),
+            substring=kwargs.get("substring", True),
+            ts_range=kwargs.get("ts_range"),
+        )
+        if empty:
+            continue
+        parts.append(search_sinks(spark, d, query, **kwargs))
+    if not parts:
+        # preserve the output schema: run one archive's (empty) search
+        return search_sinks(spark, out_dirs[0], query, **kwargs).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def search_sinks(
     spark: SparkSession,
     out_dir: str,

@@ -161,3 +161,33 @@ def test_zero_hit_query_prunes_every_sink(spark, compressed):
     )
     assert keep == []
     assert search_sinks(spark, out, "qq7z_missing_token_9x").count() == 0
+
+
+def test_search_archives_federation(spark, pages_pdf, tmp_path_factory):
+    """Multi-archive federation (the clg ARCHIVES-DIR shape): results
+    union per-archive searches exactly, and an archive whose manifests
+    prove zero candidates contributes nothing."""
+    from clp_spark.search.sinks import search_archives, surviving_unit_filter
+
+    base = tmp_path_factory.mktemp("multi_arch")
+    dirs = []
+    halves = [pages_pdf.iloc[:1500], pages_pdf.iloc[1500:]]
+    for i, pdf in enumerate(halves):
+        out = str(base / f"arch{i}")
+        compress(spark, spark.createDataFrame(pdf), out, CFG)
+        dirs.append(out)
+
+    q = "user=alice"
+    got = {
+        r["url"]
+        for r in search_archives(spark, dirs, q).select("url").collect()
+    }
+    exp = _oracle(pages_pdf, q)
+    assert got == exp and len(got) > 0
+
+    # a query whose tokens exist in NO archive: both archives are
+    # provably empty at compile time (no Spark job needed)
+    for d in dirs:
+        _pred, empty = surviving_unit_filter(spark, d, "zz_nowhere_token_9x")
+        assert empty
+    assert search_archives(spark, dirs, "zz_nowhere_token_9x").count() == 0

@@ -111,10 +111,11 @@ def _is_kw(tok, *kws) -> bool:
 
 
 class _Parser:
-    def __init__(self, tokens, archive: JsonArchive):
+    def __init__(self, tokens, archive: JsonArchive, ignore_case: bool = False):
         self.toks = tokens
         self.i = 0
         self.archive = archive
+        self.ignore_case = ignore_case
         self.prefix: list[str] = []  # nested-query column prefix stack
         self.prune_nodes: list[int] = []
         self.prunable = True  # only pure positive AND/atom trees prune
@@ -173,7 +174,9 @@ class _Parser:
         full = self._full_path(path)
         if full.startswith("$"):
             return self._range_index_pred(full[1:], op, value)
-        pred, nodes = json_predicate(self.archive, full, op, value)
+        pred, nodes = json_predicate(
+            self.archive, full, op, value, self.ignore_case
+        )
         self.prune_nodes += nodes
         return pred
 
@@ -198,9 +201,14 @@ class _Parser:
                 return False
             if op == "eq":
                 if isinstance(value, str) and isinstance(v, str):
-                    if _has_wc(value):
-                        return wildcard_match(value, v)
-                    return v == value
+                    val, vv = (
+                        (value.lower(), v.lower())
+                        if self.ignore_case
+                        else (value, v)
+                    )
+                    if _has_wc(val):
+                        return wildcard_match(val, vv)
+                    return vv == val
                 return v == value
             if not isinstance(v, (int, float)) or isinstance(v, bool):
                 return False
@@ -331,13 +339,18 @@ class _Parser:
         return out
 
     def _any_column_eq(self, value) -> Column:
-        pred, _ = json_predicate(self.archive, "*", "eq", value)
+        pred, _ = json_predicate(
+            self.archive, "*", "eq", value, self.ignore_case
+        )
         return pred
 
 
-def kql_query(archive: JsonArchive, query: str) -> DataFrame:
-    """Filter the archive's encoded rows with a KQL expression."""
-    p = _Parser(_tokenize(query), archive)
+def kql_query(
+    archive: JsonArchive, query: str, ignore_case: bool = False
+) -> DataFrame:
+    """Filter the archive's encoded rows with a KQL expression
+    (ignore_case = the clp_s CLI's -i flag)."""
+    p = _Parser(_tokenize(query), archive, ignore_case)
     pred = p.parse()
     df = archive.encoded
     if p.prunable and p.prune_nodes:

@@ -193,10 +193,16 @@ def _has_wildcard(s: str) -> bool:
 
 
 def json_predicate(
-    archive: JsonArchive, path: str, op: str, value=None
+    archive: JsonArchive, path: str, op: str, value=None,
+    ignore_case: bool = False,
 ) -> tuple[Column, list[int]]:
     """One condition → (boolean Column over the encoded frame,
-    candidate node ids for schema pruning; empty = not prunable)."""
+    candidate node ids for schema pruning; empty = not prunable).
+
+    ignore_case (the clp_s CLI's -i flag) affects string comparisons
+    only: tokenization is case-insensitive in STRUCTURE (delimiters,
+    digit/hex/'='-rules don't depend on letter case), so a lowercased
+    template/value comparison is exact."""
     op = op.lower()
     if op == "exists":
         nodes = _nodes_for_path(archive, path)
@@ -204,7 +210,7 @@ def json_predicate(
     if op == "nexists":
         return ~_has_path_pred(archive, path), []
     if op == "neq":
-        eq_pred, _ = json_predicate(archive, path, "eq", value)
+        eq_pred, _ = json_predicate(archive, path, "eq", value, ignore_case)
         return _has_path_pred(archive, path) & ~eq_pred, _nodes_for_path(
             archive, path
         )
@@ -244,7 +250,7 @@ def json_predicate(
         if _has_wildcard(value):
             # imprecise var: wildcard scan of the var dictionary
             # (DictionaryReader.hpp:274-290 analog for VarStrings)
-            rx = wildcard_to_regex(value)
+            rx = wildcard_to_regex(value, ignore_case)
             ids = [
                 r["var_id"]
                 for r in archive.var_dict.collect()
@@ -259,44 +265,78 @@ def json_predicate(
                 all_nodes += nodes
         elif " " in value:
             lt, vs, vt, ev = parse_one(value)
-            lt_rows = {
-                r["logtype"]: r["logtype_id"]
-                for r in archive.logtype_dict.filter(
-                    F.col("logtype") == lt
-                ).collect()
-            }
-            if lt in lt_rows:
-                enc = list(ev)
-                ok = True
-                v_map = {
-                    r["value"]: r["var_id"]
-                    for r in archive.var_dict.filter(
-                        F.col("value").isin(
-                            [s for s, t in zip(vs, vt) if t == VT_DICT]
+            if ignore_case:
+                lt_ids = [
+                    r["logtype_id"]
+                    for r in archive.logtype_dict.filter(
+                        F.lower(F.col("logtype")) == lt.lower()
+                    ).collect()
+                ]
+            else:
+                lt_ids = [
+                    r["logtype_id"]
+                    for r in archive.logtype_dict.filter(
+                        F.col("logtype") == lt
+                    ).collect()
+                ]
+            if lt_ids:
+                # per-slot var conditions; dict slots may match several
+                # ids under ignore_case (case variants of the value)
+                dict_vals = [s for s, t in zip(vs, vt) if t == VT_DICT]
+                if ignore_case:
+                    rows = archive.var_dict.filter(
+                        F.lower(F.col("value")).isin(
+                            [v.lower() for v in dict_vals]
                         )
                     ).collect()
-                }
-                for j, t in enumerate(vt):
-                    if t == VT_DICT:
-                        if vs[j] not in v_map:
-                            ok = False
-                            break
-                        enc[j] = v_map[vs[j]]
-                if ok:
-                    nodes = _nodes_for_path(archive, path, {NODE_CLPSTR})
-                    arr = ",".join(f"{int(x)}L" for x in enc)
-                    preds.append(
-                        _exists_pred(
-                            nodes,
-                            f"x.enc = {lt_rows[lt]}L AND x.vars = array({arr})",
+                    v_ids = {}
+                    for r in rows:
+                        v_ids.setdefault(r["value"].lower(), []).append(
+                            r["var_id"]
                         )
-                    )
+                    slot_ids = [
+                        (v_ids.get(vs[j].lower(), []) if t == VT_DICT else None)
+                        for j, t in enumerate(vt)
+                    ]
+                else:
+                    rows = archive.var_dict.filter(
+                        F.col("value").isin(dict_vals)
+                    ).collect()
+                    v_map = {r["value"]: r["var_id"] for r in rows}
+                    slot_ids = [
+                        ([v_map[vs[j]]] if vs[j] in v_map else [])
+                        if t == VT_DICT
+                        else None
+                        for j, t in enumerate(vt)
+                    ]
+                ok = all(ids is None or ids for ids in slot_ids)
+                if ok:
+                    conds = [
+                        "x.enc in ("
+                        + ",".join(f"{int(i)}L" for i in lt_ids)
+                        + ")",
+                        f"size(x.vars) = {len(vt)}",
+                    ]
+                    for j, ids in enumerate(slot_ids):
+                        if ids is None:
+                            conds.append(f"x.vars[{j}] = {int(ev[j])}L")
+                        else:
+                            arr = ",".join(f"{int(i)}L" for i in ids)
+                            conds.append(f"x.vars[{j}] in ({arr})")
+                    nodes = _nodes_for_path(archive, path, {NODE_CLPSTR})
+                    preds.append(_exists_pred(nodes, " AND ".join(conds)))
                     all_nodes += nodes
         else:
-            vrow = archive.var_dict.filter(F.col("value") == value).collect()
-            if vrow:
+            if ignore_case:
+                vrows = archive.var_dict.filter(
+                    F.lower(F.col("value")) == value.lower()
+                ).collect()
+            else:
+                vrows = archive.var_dict.filter(F.col("value") == value).collect()
+            if vrows:
                 nodes = _nodes_for_path(archive, path, {NODE_VARSTR})
-                preds.append(_exists_pred(nodes, f"x.enc = {vrow[0]['var_id']}L"))
+                arr = ",".join(f"{int(r['var_id'])}L" for r in vrows)
+                preds.append(_exists_pred(nodes, f"x.enc in ({arr})"))
                 all_nodes += nodes
 
     if not preds:
@@ -313,9 +353,10 @@ def json_filter(
     op: str,
     value=None,
     prune_schemas: bool = True,
+    ignore_case: bool = False,
 ):
     """encoded-rows filter for one condition; returns the filtered DF."""
-    pred, nodes = json_predicate(archive, path, op, value)
+    pred, nodes = json_predicate(archive, path, op, value, ignore_case)
     df = archive.encoded
     if prune_schemas and nodes and op.lower() != "nexists":
         sids = schema_candidates(archive, nodes)

@@ -498,3 +498,39 @@ class TestRangeIndexFilters:
         assert loaded.range_index_idx_col == "rid"
         got = _ids(kql_query(loaded, '$_filename: "srv2.log"'))
         assert got == list(range(200, 300))
+
+
+class TestIgnoreCase:
+    """clp_s CLI's -i flag: case-insensitive string comparisons over the
+    encoded archive (VarString, ClpString templates + dict vars,
+    wildcard var scans). Tokenization is case-insensitive in structure,
+    so lowercased comparisons are exact."""
+
+    def test_varstring_eq(self, archive):
+        assert _ids(json_filter(archive, "level", "eq", "error",
+                                ignore_case=True)) == [1, 5]
+        assert _ids(json_filter(archive, "level", "eq", "INFO-LOWER",
+                                ignore_case=True)) == [6]
+        # default stays case-sensitive
+        assert _ids(json_filter(archive, "level", "eq", "error")) == []
+
+    def test_clpstring_eq(self, archive):
+        assert _ids(
+            json_filter(archive, "msg", "eq", "REQUEST Handled IN 35 MS",
+                        ignore_case=True)
+        ) == [0, 5]
+        assert _ids(
+            json_filter(archive, "msg", "eq", "REQUEST Handled IN 35 MS")
+        ) == []
+
+    def test_wildcard_varstring(self, archive):
+        assert _ids(json_filter(archive, "level", "eq", "ERR*",
+                                ignore_case=True)) == [1, 5]
+
+    def test_kql_flag(self, archive):
+        from clp_spark.clps import kql_query
+
+        got = _ids(kql_query(archive, 'level: "WARN" OR level: "inFO"',
+                             ignore_case=True))
+        assert got == [0, 2, 3, 4]
+        assert _ids(kql_query(archive, 'level: "warn"')) == []

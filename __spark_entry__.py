@@ -199,6 +199,7 @@ def _events_json_archive(spark, sf):
         ev = _read(spark, sf, "events")
         j = ev.select(
             "event_id",
+            "ts",
             F.to_json(
                 F.struct(
                     F.col("event_type").alias("type"),
@@ -216,7 +217,7 @@ def _events_json_archive(spark, sf):
                 )
             ).alias("json"),
         )
-        arch = encode_json_df(j, "json", passthrough=["event_id"])
+        arch = encode_json_df(j, "json", passthrough=["event_id", "ts"])
         arch.encoded = arch.encoded.persist()
         _CORPUS_CACHE[key] = arch
     return _CORPUS_CACHE[key]
@@ -543,6 +544,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.get_json_object("json", "$.msg").alias("msg"),
         )
 
+    def clp_kql_count_by_time(spark, sf):
+        # clp_s --count-by-time over KQL-filtered rows (daily buckets on
+        # the archive's timestamp passthrough)
+        from clp_spark.clps import kql_count_by_time
+
+        arch = _events_json_archive(spark, sf)
+        return kql_count_by_time(arch, 'type: "view"', 86_400_000, "ts")
+
     def clp_kql_query(spark, sf):
         # KQL front-end over the encoded JSON archive (Kql.g4 analog)
         from clp_spark.clps import kql_query
@@ -602,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["clp_grep"] = clp_grep
     q["clp_kql_query"] = clp_kql_query
+    q["clp_kql_count_by_time"] = clp_kql_count_by_time
     q["clp_kql_list_nested"] = clp_kql_list_nested
     q["clp_kql_bare_value"] = clp_kql_bare_value
     q["clp_json_array_filter"] = clp_json_array_filter
@@ -1034,6 +1044,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id FROM events
             WHERE CAST(floor(event_id / 250) AS BIGINT) = 3
               AND event_type = 'error'
+        """,
+        "clp_kql_count_by_time": """
+            SELECT CAST(floor(epoch_ms(ts) / 86400000) * 86400000 AS BIGINT)
+                       AS bucket,
+                   count(*) AS n
+            FROM events WHERE event_type = 'view'
+            GROUP BY 1 ORDER BY 1
         """,
         "clp_stream_assembly": """
             WITH lines AS (

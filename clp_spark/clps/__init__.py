@@ -13,7 +13,7 @@ from clp_spark.clps.encoder import (
     encode_json_df,
     reconstruct_json_df,
 )
-from clp_spark.clps.kql import kql_query
+from clp_spark.clps.kql import kql_count, kql_count_by_time, kql_query
 from clp_spark.clps.search import json_filter, json_predicate, schema_candidates
 
 __all__ = [
@@ -30,6 +30,8 @@ __all__ = [
     "reconstruct_json_df",
     "json_filter",
     "json_predicate",
+    "kql_count",
+    "kql_count_by_time",
     "kql_query",
     "schema_candidates",
 ]

@@ -360,3 +360,26 @@ def kql_query(
         if sids is not None:
             df = df.filter(F.col("schema_id").isin(sids))
     return df.filter(pred)
+
+
+def kql_count(
+    archive: JsonArchive, query: str, ignore_case: bool = False
+) -> DataFrame:
+    """clp_s `--count`: one row (n) — partial+final hash aggregate over
+    the kql-filtered rows (no decode, no collect)."""
+    return kql_query(archive, query, ignore_case).agg(F.count("*").alias("n"))
+
+
+def kql_count_by_time(
+    archive: JsonArchive,
+    query: str,
+    bucket_ms: int,
+    ts_col: str,
+    ignore_case: bool = False,
+) -> DataFrame:
+    """clp_s `--count-by-time B`: bucket = floor(ts_ms / B) * B over a
+    timestamp passthrough column (the archive's configured
+    timestamp_key analog; clo/OutputHandler.hpp:271-273 bucketing)."""
+    from clp_spark.search.executor import count_by_time
+
+    return count_by_time(kql_query(archive, query, ignore_case), bucket_ms, ts_col)

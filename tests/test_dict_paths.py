@@ -74,3 +74,36 @@ def test_pipeline_distributed_dict_path(spark, pages_df, tmp_path):
     ma = [tuple(r) for r in spark.read.parquet(res_a["metrics"]).orderBy("sink_id").collect()]
     mb = [tuple(r) for r in spark.read.parquet(res_b["metrics"]).orderBy("sink_id").collect()]
     assert ma == mb
+
+
+def test_dump_dictionaries_readable(spark, tmp_path):
+    """make-dictionaries-readable analog: placeholders render as
+    \\i/\\f/\\d, escaped placeholder bytes stay literal, segment index
+    lists sink/segment occurrences."""
+    from clp_spark.config import (
+        PLACEHOLDER_DICT,
+        PLACEHOLDER_ESCAPE,
+        PLACEHOLDER_FLOAT,
+        PLACEHOLDER_INT,
+    )
+    from clp_spark.dicts.readable import dump_dictionaries, logtype_to_readable
+    from clp_spark.fixtures.pages import generate_pages_pdf
+    from clp_spark.pipeline import compress
+    from clp_spark.config import PipelineConfig
+
+    lt = f"took {PLACEHOLDER_INT} ms at {PLACEHOLDER_FLOAT} from {PLACEHOLDER_DICT}"
+    assert logtype_to_readable(lt) == "took \\i ms at \\f from \\d"
+    esc = f"glob {PLACEHOLDER_ESCAPE}{PLACEHOLDER_INT} x"
+    assert logtype_to_readable(esc) == f"glob {PLACEHOLDER_INT} x"
+
+    out = str(tmp_path / "arch")
+    pages = spark.createDataFrame(generate_pages_pdf(0, 300))
+    compress(spark, pages, out, PipelineConfig(num_checkpoint_buckets=1))
+    hr = str(tmp_path / "hr")
+    stats = dump_dictionaries(spark, out, hr)
+    assert stats["logtypes"] > 0 and stats["vars"] > 0
+    lines = open(hr + "/logtype.dict.hr").read().splitlines()
+    assert len(lines) == stats["logtypes"]
+    assert any("\\i" in ln or "\\d" in ln or "\\f" in ln for ln in lines)
+    seg_lines = open(hr + "/logtype.segindex.hr").read().splitlines()
+    assert len(seg_lines) > 0 and "/" in seg_lines[0]

@@ -197,6 +197,8 @@ class _Parser:
             )
 
         def _matches(v) -> bool:
+            if op == "exists":
+                return v is not None
             if v is None:
                 return False
             if op == "eq":
@@ -212,12 +214,15 @@ class _Parser:
                 return v == value
             if not isinstance(v, (int, float)) or isinstance(v, bool):
                 return False
-            return {
-                "gt": v > value,
-                "gte": v >= value,
-                "lt": v < value,
-                "lte": v <= value,
-            }[op]
+            if not isinstance(value, (int, float)) or isinstance(value, bool):
+                return False
+            if op == "gt":
+                return v > value
+            if op == "gte":
+                return v >= value
+            if op == "lt":
+                return v < value
+            return v <= value
 
         idx = F.col(self.archive.range_index_idx_col)
         pred = None

@@ -165,6 +165,95 @@ def schema_candidates(
     return sorted(r["schema_id"] for r in rows)
 
 
+_INT64_MIN = -(2**63)
+_INT64_MAX = 2**63 - 1
+
+
+def _float_key_pred(op: str, value) -> str | None:
+    """x.enc predicate string over FLOAT/FMTFLOAT order-keys for
+    `stored OP value` with an arbitrary numeric literal (int or float).
+
+    Handles the two places a naive key compare is wrong:
+      - ±0.0 share no key (key(-0.0) = -1, key(0.0) = 0) yet compare
+        equal as doubles, so predicates touching 0.0 expand to cover
+        both keys;
+      - an int literal that is not exactly representable as a double
+        (> 2^53) sits strictly between two adjacent doubles, so the
+        comparison operator shifts to the nearest double's key.
+    Returns None when no stored double can satisfy the predicate.
+    """
+    try:
+        d = float(value)
+    except OverflowError:
+        # |value| beyond the double range: every finite double is on one
+        # side of it
+        big = value > 0
+        if op in ("lt", "lte"):
+            return "true" if big else None
+        if op in ("gt", "gte"):
+            return None if big else "true"
+        return None  # eq
+    if value == d:
+        if d == 0.0:
+            return {
+                "eq": "x.enc >= -1 AND x.enc <= 0",
+                "gt": "x.enc > 0",
+                "gte": "x.enc >= -1",
+                "lt": "x.enc < -1",
+                "lte": "x.enc <= 0",
+            }[op]
+        k = float_order_key(d)
+        return f"x.enc {_CMP[op]} {k}L"
+    # value is an int strictly between adjacent doubles; d is nearest
+    k = float_order_key(d)
+    if op == "eq":
+        return None
+    if op in ("gt", "gte"):  # stored > value (no double equals value)
+        return f"x.enc >= {k}L" if d > value else f"x.enc > {k}L"
+    # lt / lte
+    return f"x.enc <= {k}L" if d < value else f"x.enc < {k}L"
+
+
+def _int_cmp_pred(op: str, value: float) -> str | None:
+    """x.enc predicate string over INT nodes for `stored OP value` with a
+    float literal: bounds round to the enclosing integers (ceil/floor are
+    exact on doubles) and clamp to int64. None = no int64 can satisfy."""
+    import math
+
+    if op == "eq":
+        if value.is_integer() and _INT64_MIN <= value <= _INT64_MAX:
+            return f"x.enc = {int(value)}L"
+        return None
+    if op in ("gt", "gte"):
+        bound = math.ceil(value) if op == "gte" else math.floor(value) + 1
+        if bound > _INT64_MAX:
+            return None
+        if bound <= _INT64_MIN:
+            return "true"
+        return f"x.enc >= {bound}L"
+    bound = math.floor(value) if op == "lte" else math.ceil(value) - 1
+    if bound < _INT64_MIN:
+        return None
+    if bound >= _INT64_MAX:
+        return "true"
+    return f"x.enc <= {bound}L"
+
+
+def _int_lit_pred(op: str, value: int) -> str | None:
+    """x.enc predicate string over INT nodes for an int literal, clamped
+    to int64 (a stored NODE_INT is always int64, so an out-of-range
+    literal resolves to all-true / impossible, never a raw literal the
+    SQL parser would reject). None = no int64 can satisfy."""
+    if _INT64_MIN <= value <= _INT64_MAX:
+        return f"x.enc {_CMP[op]} {int(value)}L"
+    big = value > _INT64_MAX
+    if op == "eq":
+        return None
+    if op in ("gt", "gte"):
+        return None if big else "true"
+    return "true" if big else None
+
+
 def _exists_pred(nodes: list[int], value_pred: str | None) -> Column:
     ns = ",".join(map(str, nodes)) or "-1"
     cond = f"array_contains(array({ns}), x.node)"
@@ -227,18 +316,40 @@ def json_predicate(
     elif isinstance(value, int):
         nodes = _nodes_for_path(archive, path, {NODE_INT})
         if nodes:
-            preds.append(_exists_pred(nodes, f"x.enc {_CMP[op]} {int(value)}L"))
-            all_nodes += nodes
+            ip = _int_lit_pred(op, value)
+            if ip is not None:
+                preds.append(_exists_pred(nodes, ip))
+                all_nodes += nodes
+        # an integral literal also constrains float-typed nodes — the
+        # reference's Integral literal matches both column types
+        # (clp_s/search/ast/Integral.hpp matches_type &
+        # cIntegralLiteralTypes; NarrowTypes.cpp), so 'a > 10' must see
+        # {"a": 10.5} stored under a FLOAT node
+        fnodes = _nodes_for_path(archive, path, {NODE_FLOAT, NODE_FMTFLOAT})
+        if fnodes:
+            fp = _float_key_pred(op, value)
+            if fp is not None:
+                preds.append(_exists_pred(fnodes, fp))
+                all_nodes += fnodes
     elif isinstance(value, float):
         # floats are stored as order-preserving int64 keys (encoder.py
         # float_order_key), so EQ *and* ranges are plain long compares;
-        # FormattedFloat nodes carry the same key in enc
+        # FormattedFloat nodes carry the same key in enc. ±0.0 and
+        # huge literals take the expanded predicate (_float_key_pred).
         nodes = _nodes_for_path(archive, path, {NODE_FLOAT, NODE_FMTFLOAT})
         if nodes:
-            preds.append(
-                _exists_pred(nodes, f"x.enc {_CMP[op]} {float_order_key(value)}L")
-            )
-            all_nodes += nodes
+            fp = _float_key_pred(op, value)
+            if fp is not None:
+                preds.append(_exists_pred(nodes, fp))
+                all_nodes += nodes
+        # ...and a float literal constrains int-typed nodes ('a < 2.5'
+        # must see {"a": 2}) — bounds round to enclosing integers
+        inodes = _nodes_for_path(archive, path, {NODE_INT})
+        if inodes:
+            ip = _int_cmp_pred(op, value)
+            if ip is not None:
+                preds.append(_exists_pred(inodes, ip))
+                all_nodes += inodes
     elif value is None:
         nodes = _nodes_for_path(archive, path, {NODE_NULL})
         if nodes and op == "eq":

@@ -266,6 +266,7 @@ def compress(
         t_m = time.time()
         summary = segment_summary(enc_sinked).persist()
         ts_cols = [c for c in ("ts_min", "ts_max") if c in summary.columns]
+        seg_cols = ts_cols + (["ts_src"] if "ts_src" in summary.columns else [])
 
         def _w_route():
             route_to_sinks(
@@ -278,9 +279,10 @@ def compress(
             ).write.mode("overwrite").parquet(
                 os.path.join(out_dir, "manifest", "logtype")
             )
-            # segment zone map: rows + ts range per (sink, seg)
+            # segment zone map: rows + ts range (+ source column) per
+            # (sink, seg)
             summary.select(
-                "sink_id", "seg_id", "rows", *ts_cols
+                "sink_id", "seg_id", "rows", *seg_cols
             ).write.mode("overwrite").parquet(
                 os.path.join(out_dir, "manifest", "segments")
             )

@@ -88,11 +88,20 @@ def segment_summary(encoded_with_seg: DataFrame) -> DataFrame:
         F.sum("raw_bytes").alias("raw_bytes"),
         F.sort_array(F.collect_set("logtype_id")).alias("lt_set"),
     ]
+    ts_src = None
     for c in ("warc_ts", "ts_ms"):
         if c in encoded_with_seg.columns:
             aggs += [F.min(c).alias("ts_min"), F.max(c).alias("ts_max")]
+            ts_src = c
             break
-    return encoded_with_seg.groupBy("sink_id", "seg_id").agg(*aggs)
+    out = encoded_with_seg.groupBy("sink_id", "seg_id").agg(*aggs)
+    if ts_src is not None:
+        # record WHICH column fed the zone map so search only applies it
+        # to queries filtering on that same column (an archive can carry
+        # both warc_ts and ts_ms; pruning a ts_ms query with warc_ts
+        # stats would be unsound)
+        out = out.withColumn("ts_src", F.lit(ts_src))
+    return out
 
 
 def detect_hot_logtypes(encoded: DataFrame, threshold_fraction: float) -> list[int]:

@@ -80,11 +80,14 @@ def _fill_template(parts, kinds, encoded_vars, var_map) -> str:
 # decode switches to the explode → join → regroup path
 _MAX_DRIVER_DICT_ROWS = 2_000_000
 
-# (lt_df_id, v_df_id, cap) → (lt_df, v_df, b_lt, b_v) — one collect +
-# broadcast per corpus per session, not per decode call; the DataFrame
-# refs pin the id()s. Bounded LRU: evicted broadcasts are reclaimed by
-# Spark's ContextCleaner once the handle (and capturing plans) are GC'd.
-from clp_spark.util import LruCache
+# (df_cache_key(lt), df_cache_key(v), cap) → (lt_df, v_df, b_lt, b_v) —
+# one collect + broadcast per corpus per session, not per decode call.
+# File-backed dicts key on their input-file lists (stable across
+# re-reads, invalidated when a recompress rewrites them); in-memory
+# dicts key on id(), pinned by the cached DataFrame refs. Bounded LRU:
+# evicted broadcasts are reclaimed by Spark's ContextCleaner once the
+# handle (and capturing plans) are GC'd.
+from clp_spark.util import LruCache, df_cache_key
 
 _BROADCAST_CACHE: LruCache = LruCache(maxsize=8)
 
@@ -107,7 +110,7 @@ def decode_messages(
     driver. Both paths produce byte-identical text.
     """
     spark = encoded.sparkSession
-    cache_key = (id(logtype_dict), id(var_dict), driver_dict_cap)
+    cache_key = (df_cache_key(logtype_dict), df_cache_key(var_dict), driver_dict_cap)
     hit = _BROADCAST_CACHE.get(cache_key)
     if hit is not None:
         b_lt, b_v = hit[2], hit[3]

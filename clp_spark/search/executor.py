@@ -86,16 +86,18 @@ class _DictIndex:
         return self._cache[key]
 
 
-# (lt_df_id, v_df_id) → (lt_df, v_df, _DictIndex | None); the DataFrame
-# refs pin the id()s. One collect per corpus per session, not per query;
-# bounded LRU so old corpora aren't pinned forever.
-from clp_spark.util import LruCache
+# df_cache_key(dict frames) → (lt_df, v_df, _DictIndex | None); file-
+# backed dicts key on their input-file lists (stable across re-reads,
+# invalidated by rewrites); in-memory dicts key on id(), pinned by the
+# cached DataFrame refs. One collect per corpus per session, not per
+# query; bounded LRU so old corpora aren't pinned forever.
+from clp_spark.util import LruCache, df_cache_key
 
 _INDEX_CACHE: LruCache = LruCache(maxsize=8)
 
 
 def _load_index(logtype_dict: DataFrame, var_dict: DataFrame) -> _DictIndex | None:
-    key = (id(logtype_dict), id(var_dict))
+    key = (df_cache_key(logtype_dict), df_cache_key(var_dict))
     hit = _INDEX_CACHE.get(key)
     if hit is not None:
         return hit[2]

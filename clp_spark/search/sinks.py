@@ -32,16 +32,68 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from clp_spark.search.compiler import CompiledQuery, TokenPred, compile_query
 from clp_spark.search.executor import _DictIndex, _has_meta, _load_index, search
 
-# manifests above this many pairs are not collected; pruning degrades to
-# "no segment pruning" (still exact — row-level stages remain)
+# manifests above this many pairs are not collected; pruning switches to
+# the DISTRIBUTED path: surviving (sink, seg) units are computed as a
+# manifest semi-join (Query.hpp:103-121's calculate_ids_of_matching_
+# segments, which the reference also never materializes in one process —
+# DictionaryWriter.hpp:72 streams per-dictionary indexes)
 _MAX_DRIVER_MANIFEST_PAIRS = 4_000_000
 
-# collected manifest maps, keyed by manifest DIRECTORY (stable across
-# queries, unlike DataFrame ids) — CLP likewise keeps segment indexes
-# in memory across queries; bounded LRU so old archives drop out
+# a distributed-pruning result this small collects back into a literal
+# partition predicate (whole directories pruned from the scan); larger
+# survivor sets stay as a semi-join against the sinks scan
+_MAX_UNIT_LITERALS = 10_000
+
+# collected manifest maps, keyed by (manifest DIRECTORY, freshness
+# token) — stable across queries, unlike DataFrame ids, and invalidated
+# when compress() rewrites the same out_dir (the parquet overwrite bumps
+# the files' mtimes). CLP likewise keeps segment indexes in memory
+# across queries; bounded LRU so old archives drop out.
 from clp_spark.util import LruCache
 
 _MANIFEST_CACHE: LruCache = LruCache(maxsize=8)
+
+
+def _dir_token(path: str) -> int:
+    """Freshness token for a manifest directory: max mtime_ns across its
+    entries and one level of subdirectory entries. One scandir pass —
+    cheap relative to a query — and any parquet overwrite rewrites the
+    part files, bumping it."""
+    tok = 0
+    try:
+        with os.scandir(path) as it:
+            for e in it:
+                try:
+                    tok = max(tok, e.stat().st_mtime_ns)
+                    if e.is_dir():
+                        with os.scandir(e.path) as it2:
+                            for e2 in it2:
+                                tok = max(tok, e2.stat().st_mtime_ns)
+                except OSError:
+                    continue
+    except OSError:
+        pass
+    return tok
+
+
+def _manifest_cached(spark: SparkSession, man_dir: str):
+    """(lt_pairs, var_pairs, unit_cols, lt_man_df, var_man_df) for an
+    archive's token manifests; the collected pair maps are None above
+    the driver cap (the DataFrames then drive the distributed path)."""
+    key = (man_dir, _dir_token(man_dir))
+    cached = _MANIFEST_CACHE.get(key)
+    if cached is None:
+        lt_man = spark.read.parquet(os.path.join(man_dir, "logtype"))
+        var_man = spark.read.parquet(os.path.join(man_dir, "var"))
+        cached = (
+            _collect_pairs(lt_man, "logtype_id"),
+            _collect_pairs(var_man, "var_id"),
+            _unit_cols(lt_man),
+            lt_man,
+            var_man,
+        )
+        _MANIFEST_CACHE.put(key, cached)
+    return cached
 
 
 def _unit_cols(df: DataFrame) -> list[str]:
@@ -138,6 +190,95 @@ def _prune_from_pairs(
     return None if surviving is None else (sorted(surviving), unit_cols)
 
 
+def _ids_filter(df: DataFrame, col: str, ids) -> DataFrame:
+    """df rows whose `col` is in the (driver-side, capped at
+    _MAX_ISIN_IDS by the dict index) candidate ID set — one SQL IN."""
+    if not ids:
+        return df.limit(0)
+    body = ",".join(str(int(i)) for i in sorted(ids))
+    return df.filter(F.expr(f"{col} IN ({body})"))
+
+
+def _token_units_df(
+    tp: TokenPred,
+    idx: _DictIndex,
+    ignore_case: bool,
+    lt_man: DataFrame,
+    var_man: DataFrame | None,
+    unit_cols: list[str],
+) -> DataFrame | None:
+    """Distributed twin of _token_units: a DataFrame of prune units where
+    this token could match; None = unconstrained. Candidate dictionary
+    IDs still come from the driver-side dict index (CLP's model — dicts
+    are small by design), but the manifest membership runs as filters +
+    semi-joins, so the manifests never have to fit on the driver."""
+    parts: list[DataFrame] = []
+    for br in tp.branches:
+        k = br.kind
+        if k in ("any", "enc"):
+            return None
+        if k in ("logtype", "enc_int", "enc_float"):
+            if k == "logtype":
+                ids = idx.logtype_ids(br.pattern, ignore_case)
+            else:
+                from clp_spark.config import PLACEHOLDER_FLOAT, PLACEHOLDER_INT
+
+                ids = idx.lt_with_placeholder(
+                    PLACEHOLDER_INT if k == "enc_int" else PLACEHOLDER_FLOAT
+                )
+            if ids is None:
+                return None
+            parts.append(_ids_filter(lt_man, "logtype_id", ids).select(*unit_cols))
+        elif k == "dictvar":
+            if var_man is None:
+                return None
+            if _has_meta(br.pattern):
+                ids = idx.var_ids(br.pattern, ignore_case)
+            else:
+                ids = idx.var_ids_exact(br.pattern, ignore_case)
+            if ids is None:
+                return None
+            parts.append(_ids_filter(var_man, "var_id", ids).select(*unit_cols))
+        elif k == "split":
+            acc: DataFrame | None = None
+            for part in br.parts:
+                s = _token_units_df(part, idx, ignore_case, lt_man, var_man, unit_cols)
+                if s is None:
+                    continue
+                acc = s if acc is None else acc.join(s, unit_cols, "left_semi")
+            if acc is None:
+                return None
+            parts.append(acc)
+    if not parts:
+        return lt_man.select(*unit_cols).limit(0)  # token infeasible
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _prune_units_distributed(
+    cq: CompiledQuery,
+    idx: _DictIndex,
+    lt_man: DataFrame,
+    var_man: DataFrame | None,
+    unit_cols: list[str],
+) -> DataFrame | None:
+    """Distributed twin of _prune_from_pairs: intersect the per-token
+    surviving-unit frames with semi-joins. None = cannot prune."""
+    if cq.match_all or idx is None:
+        return None
+    surviving: DataFrame | None = None
+    for tp in cq.tokens:
+        s = _token_units_df(tp, idx, cq.ignore_case, lt_man, var_man, unit_cols)
+        if s is None:
+            continue
+        surviving = s if surviving is None else surviving.join(
+            s, unit_cols, "left_semi"
+        )
+    return surviving
+
+
 def prune_segment_units(
     cq: CompiledQuery,
     idx: _DictIndex,
@@ -208,25 +349,36 @@ def ts_surviving_units(
     return [tuple(r[c] for c in unit_cols) for r in rows], unit_cols
 
 
-def _ts_units_cached(spark: SparkSession, seg_dir: str, ts_range: tuple):
+def _ts_units_cached(
+    spark: SparkSession, seg_dir: str, ts_range: tuple, ts_col: str
+):
     """ts_surviving_units over a CACHED zone map: the segments table is
     one row per (sink, seg) — collect it once per archive, filter the
-    driver-side copy per query (zone-map compares are trivial)."""
-    cached = _MANIFEST_CACHE.get(("segments", seg_dir))
+    driver-side copy per query (zone-map compares are trivial). The zone
+    map applies ONLY when it was built from the query's ts_col (the
+    manifest records its source in ts_src); a warc_ts zone map must not
+    prune a ts_ms query. Manifests predating ts_src are treated as
+    warc_ts-sourced (the historical default of segment_summary)."""
+    cached = _MANIFEST_CACHE.get(("segments", seg_dir, _dir_token(seg_dir)))
     if cached is None:
         seg = spark.read.parquet(seg_dir)
         if "ts_min" not in seg.columns:
-            cached = (None, _unit_cols(seg))
+            cached = (None, _unit_cols(seg), None)
         else:
             unit_cols = _unit_cols(seg)
+            if "ts_src" in seg.columns:
+                src_rows = seg.select("ts_src").limit(1).collect()
+                ts_src = src_rows[0]["ts_src"] if src_rows else None
+            else:
+                ts_src = "warc_ts"
             rows = [
                 (tuple(r[c] for c in unit_cols), r["ts_min"], r["ts_max"])
                 for r in seg.select(*unit_cols, "ts_min", "ts_max").collect()
             ]
-            cached = (rows, unit_cols)
-        _MANIFEST_CACHE.put(("segments", seg_dir), cached)
-    rows, unit_cols = cached
-    if rows is None:
+            cached = (rows, unit_cols, ts_src)
+        _MANIFEST_CACHE.put(("segments", seg_dir, _dir_token(seg_dir)), cached)
+    rows, unit_cols, ts_src = cached
+    if rows is None or ts_src != ts_col:
         return None
     lo, hi = ts_range
     import datetime
@@ -255,6 +407,7 @@ def surviving_unit_filter(
     ignore_case: bool = False,
     substring: bool = True,
     ts_range: tuple | None = None,
+    ts_col: str = "warc_ts",
 ):
     """(predicate | None, provably_empty) for one archive: the combined
     token-manifest + ts-zone-map prune. predicate None = cannot prune;
@@ -272,23 +425,28 @@ def surviving_unit_filter(
     if not cq.match_all:
         idx = _load_index(lt_dict, v_dict)
         if idx is not None:
-            cached = _MANIFEST_CACHE.get(man_dir)
-            if cached is None:
-                lt_man = spark.read.parquet(_os.path.join(man_dir, "logtype"))
-                var_man = spark.read.parquet(_os.path.join(man_dir, "var"))
-                cached = (
-                    _collect_pairs(lt_man, "logtype_id"),
-                    _collect_pairs(var_man, "var_id"),
-                    _unit_cols(lt_man),
+            lt_pairs, var_pairs, man_cols, lt_man, var_man = _manifest_cached(
+                spark, man_dir
+            )
+            if lt_pairs is not None:
+                r = _prune_from_pairs(cq, idx, lt_pairs, var_pairs, man_cols)
+                if r is not None:
+                    units, unit_cols = set(r[0]), r[1]
+            else:
+                # over-cap manifests: the archive-level verdict collects
+                # only up to the literal cap; past it, leave the real
+                # pruning to search_sinks' semi-join
+                units_df = _prune_units_distributed(
+                    cq, idx, lt_man, var_man, man_cols
                 )
-                _MANIFEST_CACHE.put(man_dir, cached)
-            lt_pairs, var_pairs, man_cols = cached
-            r = _prune_from_pairs(cq, idx, lt_pairs, var_pairs, man_cols)
-            if r is not None:
-                units, unit_cols = set(r[0]), r[1]
+                if units_df is not None:
+                    rows = units_df.limit(_MAX_UNIT_LITERALS + 1).collect()
+                    if len(rows) <= _MAX_UNIT_LITERALS:
+                        units = {tuple(r[c] for c in man_cols) for r in rows}
+                        unit_cols = man_cols
     seg_dir = _os.path.join(man_dir, "segments")
     if ts_range is not None and _os.path.isdir(seg_dir):
-        r = _ts_units_cached(spark, seg_dir, ts_range)
+        r = _ts_units_cached(spark, seg_dir, ts_range, ts_col)
         if r is not None:
             ts_units, ts_cols = set(r[0]), r[1]
             if units is None:
@@ -323,6 +481,7 @@ def search_archives(
             ignore_case=kwargs.get("ignore_case", False),
             substring=kwargs.get("substring", True),
             ts_range=kwargs.get("ts_range"),
+            ts_col=kwargs.get("ts_col", "warc_ts"),
         )
         if empty:
             continue
@@ -358,33 +517,52 @@ def search_sinks(
     if os.path.isdir(man_dir):
         units: set | None = None
         unit_cols: list[str] | None = None
+        units_df: DataFrame | None = None
         if not cq.match_all:
             idx = _load_index(lt_dict, v_dict)
             if idx is not None:
-                cached = _MANIFEST_CACHE.get(man_dir)
-                if cached is None:
-                    lt_man = spark.read.parquet(os.path.join(man_dir, "logtype"))
-                    var_man = spark.read.parquet(os.path.join(man_dir, "var"))
-                    cached = (
-                        _collect_pairs(lt_man, "logtype_id"),
-                        _collect_pairs(var_man, "var_id"),
-                        _unit_cols(lt_man),
+                lt_pairs, var_pairs, man_cols, lt_man, var_man = (
+                    _manifest_cached(spark, man_dir)
+                )
+                if lt_pairs is not None:
+                    r = _prune_from_pairs(cq, idx, lt_pairs, var_pairs, man_cols)
+                    if r is not None:
+                        units, unit_cols = set(r[0]), r[1]
+                else:
+                    # manifests above the driver cap: distributed pruning
+                    # (manifest filters + semi-joins; SURVEY §2.3's
+                    # manifest semi-join shape)
+                    units_df = _prune_units_distributed(
+                        cq, idx, lt_man, var_man, man_cols
                     )
-                    _MANIFEST_CACHE.put(man_dir, cached)
-                lt_pairs, var_pairs, man_cols = cached
-                r = _prune_from_pairs(cq, idx, lt_pairs, var_pairs, man_cols)
-                if r is not None:
-                    units, unit_cols = set(r[0]), r[1]
+                    unit_cols = man_cols
         ts_range = kwargs.get("ts_range")
         seg_dir = os.path.join(man_dir, "segments")
         if ts_range is not None and os.path.isdir(seg_dir):
-            r = _ts_units_cached(spark, seg_dir, ts_range)
+            r = _ts_units_cached(
+                spark, seg_dir, ts_range, kwargs.get("ts_col", "warc_ts")
+            )
             if r is not None:
                 ts_units, ts_cols = set(r[0]), r[1]
-                if units is None:
+                if units_df is not None:
+                    if unit_cols == ts_cols:
+                        units_df = units_df.filter(
+                            unit_filter(sorted(ts_units), ts_cols)
+                        )
+                elif units is None:
                     units, unit_cols = ts_units, ts_cols
                 elif unit_cols == ts_cols:
                     units &= ts_units
+        if units_df is not None:
+            # adaptive: a small survivor set collects into a literal
+            # partition predicate (whole sink/segment directories pruned
+            # at scan planning); a large one stays distributed as a
+            # semi-join against the sinks scan
+            rows = units_df.limit(_MAX_UNIT_LITERALS + 1).collect()
+            if len(rows) <= _MAX_UNIT_LITERALS:
+                units = {tuple(r[c] for c in unit_cols) for r in rows}
+            else:
+                sinks = sinks.join(units_df, unit_cols, "left_semi")
         if units is not None:
             sinks = sinks.filter(unit_filter(sorted(units), unit_cols))
     return search(sinks, lt_dict, v_dict, query, **kwargs)

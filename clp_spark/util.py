@@ -41,6 +41,24 @@ class LruCache(OrderedDict):
             self.popitem(last=False)
 
 
+def df_cache_key(df: DataFrame):
+    """Stable cache key for a dictionary DataFrame.
+
+    File-backed frames key on their resolved input-file list (stable
+    across re-reads of the same path AND changed when the files are
+    rewritten — a recompress into the same dir must not serve stale
+    broadcasts). In-memory frames fall back to id(df); that is safe
+    ONLY because every cache stores the DataFrame in its value, pinning
+    the object so its id cannot be reused while the entry lives."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        return ("files", hash(tuple(sorted(files))))
+    return ("id", id(df))
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition `df` up to the cluster's default parallelism iff the
     current plan yields fewer partitions; identity otherwise.

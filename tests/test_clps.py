@@ -488,6 +488,16 @@ class TestRangeIndexFilters:
                 range_index_idx_col="rid",
             )
 
+    def test_exists_on_range_index_field(self, ri_archive):
+        # '$field: *' = exists (entry has the field, any value) — must
+        # not TypeError on numeric metadata or silently return no rows
+        from clp_spark.clps import kql_query
+
+        got = _ids(kql_query(ri_archive, "$_filename: *"))
+        assert got == list(range(300))
+        got = _ids(kql_query(ri_archive, "$_file_split_number: *"))
+        assert got == list(range(300))
+
     def test_save_load_preserves_range_index(self, spark, ri_archive, tmp_path):
         from clp_spark.clps import kql_query
         from clp_spark.clps.encoder import JsonArchive
@@ -534,3 +544,73 @@ class TestIgnoreCase:
                              ignore_case=True))
         assert got == [0, 2, 3, 4]
         assert _ids(kql_query(archive, 'level: "warn"')) == []
+
+
+class TestMixedNumericTypes:
+    """Numeric literals must cross int/float node types: the reference's
+    Integral literal matches both column types (clp_s/search/ast/
+    Integral.hpp matches_type & cIntegralLiteralTypes; NarrowTypes.cpp),
+    so 'a > 10' sees {"a": 10.5} and 'a < 2.5' sees {"a": 2}. Also ±0.0:
+    key(-0.0) != key(0.0) but the doubles compare equal."""
+
+    RECS = [
+        (0, '{"a":10}'),
+        (1, '{"a":10.5}'),
+        (2, '{"a":2}'),
+        (3, '{"a":2.5}'),
+        (4, '{"a":10.0}'),
+        (5, '{"a":-0.0}'),
+        (6, '{"a":0.0}'),
+        (7, '{"a":0}'),
+        (8, '{"a":-3}'),
+    ]
+
+    @pytest.fixture(scope="class")
+    def marchive(self, spark):
+        df = spark.createDataFrame(self.RECS, "rid long, json string")
+        a = encode_json_df(df, "json", passthrough=["rid"])
+        a.encoded = a.encoded.persist()
+        a.encoded.count()
+        return a
+
+    def test_int_literal_matches_float_nodes(self, marchive):
+        assert _ids(json_filter(marchive, "a", "eq", 10)) == [0, 4]
+        assert _ids(json_filter(marchive, "a", "gt", 10)) == [1]
+        assert _ids(json_filter(marchive, "a", "gte", 10)) == [0, 1, 4]
+        assert _ids(json_filter(marchive, "a", "gt", 2)) == [0, 1, 3, 4]
+        assert _ids(json_filter(marchive, "a", "lt", 0)) == [8]
+
+    def test_float_literal_matches_int_nodes(self, marchive):
+        assert _ids(json_filter(marchive, "a", "lt", 2.5)) == [2, 5, 6, 7, 8]
+        assert _ids(json_filter(marchive, "a", "lte", 2.0)) == [2, 5, 6, 7, 8]
+        assert _ids(json_filter(marchive, "a", "eq", 10.0)) == [0, 4]
+        assert _ids(json_filter(marchive, "a", "eq", 2.5)) == [3]
+        assert _ids(json_filter(marchive, "a", "gt", 2.4)) == [0, 1, 3, 4]
+
+    def test_signed_zero(self, marchive):
+        # -0.0 == 0.0 == 0 as numbers; both float keys and the int node
+        assert _ids(json_filter(marchive, "a", "eq", 0.0)) == [5, 6, 7]
+        assert _ids(json_filter(marchive, "a", "eq", 0)) == [5, 6, 7]
+        assert _ids(json_filter(marchive, "a", "gte", 0.0)) == [0, 1, 2, 3, 4, 5, 6, 7]
+        assert _ids(json_filter(marchive, "a", "lte", 0.0)) == [5, 6, 7, 8]
+        assert _ids(json_filter(marchive, "a", "gt", 0.0)) == [0, 1, 2, 3, 4]
+        assert _ids(json_filter(marchive, "a", "lt", 0)) == [8]
+
+    def test_minus_zero_roundtrips_byte_exact(self, marchive):
+        got = {
+            r["rid"]: r["json"]
+            for r in reconstruct_json_df(marchive).select("rid", "json").collect()
+        }
+        for rid, text in self.RECS:
+            assert got[rid] == text, (rid, got[rid])
+
+    def test_huge_int_literal_vs_float_nodes(self, marchive):
+        # 2**63 + 3 is not a double; nothing here is that large
+        assert _ids(json_filter(marchive, "a", "gt", 2**63 + 3)) == []
+        assert _ids(json_filter(marchive, "a", "lt", 2**63 + 3)) == list(range(9))
+        assert _ids(json_filter(marchive, "a", "eq", 2**63 + 3)) == []
+
+    def test_kql_mixed(self, marchive):
+        from clp_spark.clps import kql_query
+
+        assert _ids(kql_query(marchive, "a > 2 AND a <= 10.5")) == [0, 1, 3, 4]

@@ -32,7 +32,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 64k-row Arrow batches: the byte-level vectorized tokenizer
+        # (parse/npscan.py) amortizes its per-batch numpy setup over the
+        # batch, measured ~17% faster at 64k than 10k rows; batches stay
+        # ~5-10 MB so executor memory is unaffected
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))

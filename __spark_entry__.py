@@ -803,12 +803,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select("id", F.col("n_bytes").cast("long").alias("n_bytes"), "magic_hex")
 
     def mm_decode_features(spark, sf):
-        # decode plumbing with the deterministic fake codec — rows-only
-        docs = _read(spark, sf, "documents").withColumn(
-            "payload", F.col("text").cast("binary")
-        )
-        return decode_features(docs, "payload", "doc_id", fake=True).select(
-            "id", "width", "height", "channels"
+        # REAL codec path: synthesize a deterministic 24-bit BMP per doc
+        # (pixel k = (doc_id + k) % 256), decode it with the native BMP
+        # parser (functions/multimodal.py decode_bmp — no fake anywhere),
+        # and emit exact integer features the oracle recomputes in
+        # closed form.
+        import pandas as _pd
+
+        from clp_spark.functions.multimodal import synth_bmp
+
+        docs = _read(spark, sf, "documents").select("doc_id")
+
+        def gen(batches):
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload": [synth_bmp(int(i)) for i in pdf["doc_id"]],
+                    }
+                )
+
+        with_payload = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+        return decode_features(with_payload, "payload", "doc_id").select(
+            "id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("channels").cast("long").alias("channels"),
+            "pix_sum",
         )
 
     def mm_frame_sample(spark, sf):
@@ -1239,6 +1260,29 @@ GROUP BY d.doc_id
                      CAST(floor(octet_length(encode(text)) / 64) AS BIGINT), 1
                  ))) AS u(i)
         """,
-        # mm_decode_features: non-SQL-expressible (stubbed codec) —
-        # rows-only check by design.
+        # mm_decode_features: the Spark side builds a BMP whose pixels
+        # are (doc_id + k) % 256 for k in [0, w*h*3) and decodes it with
+        # the real BMP parser; the oracle recomputes width/height and
+        # the exact pixel-byte sum in closed form:
+        # S(m) = (m//256)*32640 + r*(r-1)/2 with r = m%256, and
+        # pix_sum = S(seed+n) - S(seed).
+        "mm_decode_features": """
+            WITH p AS (
+              SELECT doc_id AS id,
+                     1 + doc_id % 31 AS width,
+                     1 + doc_id % 17 AS height,
+                     doc_id % 256 AS seed,
+                     (1 + doc_id % 31) * (1 + doc_id % 17) * 3 AS n
+              FROM documents)
+            SELECT CAST(id AS BIGINT) AS id,
+                   CAST(width AS BIGINT) AS width,
+                   CAST(height AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS channels,
+                   CAST(
+                     ((seed + n) // 256) * 32640
+                     + ((seed + n) % 256) * ((seed + n) % 256 - 1) // 2
+                     - (seed * (seed - 1) // 2)
+                   AS BIGINT) AS pix_sum
+            FROM p
+        """,
     }

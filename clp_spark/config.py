@@ -74,6 +74,11 @@ class PipelineConfig:
     # each far below this cap — not one global dictionary.
     driver_dict_cap: int = 2_000_000
 
+    # parquet row-group target size for sink files; None = parquet
+    # default (128 MB). Tests set it small to force multiple row groups
+    # so row-group pruning is observable at fixture scale.
+    parquet_block_size: int | None = None
+
     # parse a leading timestamp out of every message before tokenizing
     # (the reference does this on every message: TimestampPattern.cpp,
     # MessageParser.cpp:95+). The matched pattern id + epoch-ms + prefix

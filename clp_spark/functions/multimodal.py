@@ -4,9 +4,14 @@ Web-scale corpora carry image/audio/video alongside text. The Spark-side
 contract: payloads stay opaque `binary` columns; metadata (size, sniffed
 container type) is JVM-side column algebra; decode / feature-extract /
 resize / frame-sample run as Arrow-batched `mapInPandas` with REAL
-schemas, partitioning, and batch shapes — only the codec call itself is
-stubbed (no image/audio libraries in this container). Swap `_decode_stub`
-for PIL/ffmpeg and nothing else changes.
+schemas, partitioning, and batch shapes.
+
+Codecs: BMP (24-bit), PPM (P6), and WAV (PCM16) are decoded NATIVELY
+here — dependency-free parsers of the public container formats — so the
+decode/feature stage is a real, oracle-checked pipeline component.
+Compressed containers (JPEG/PNG/FLAC/WEBM) raise NotImplementedError:
+that call site is where PIL/ffmpeg plug in (not installed in this
+environment); nothing else changes.
 """
 
 from __future__ import annotations
@@ -45,23 +50,169 @@ def binary_meta(
     )
 
 
-def _decode_stub(payload: bytes, fake: bool):
-    """Stand-in for the real image decoder (PIL.Image.open etc.).
+# ---------------------------------------------------------------------------
+# Real, dependency-free codecs for the uncompressed container formats
+# (BMP 24-bit, PPM P6, WAV PCM16). These are pure public-format parsers —
+# enough to make decode/feature-extract a first-class, oracle-checked
+# pipeline stage without image/audio libraries. Compressed formats
+# (JPEG/PNG/FLAC...) still raise: that is where PIL/ffmpeg would plug in.
 
-    fake=True returns a deterministic fake decode derived from the
-    payload bytes; fake=False raises, marking exactly where the codec
-    library would plug in.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "pass fake=True for the deterministic test double"
+
+def write_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode an uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER).
+    `rgb` is row-major top-down RGB, len == width*height*3."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    img_size = stride * height
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    pad = b"\x00" * (stride - width * 3)
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        # RGB → BGR per pixel
+        r = np.frombuffer(row, dtype=np.uint8).reshape(width, 3)[:, ::-1]
+        rows.append(r.tobytes() + pad)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes):
+    """Decode an uncompressed 24-bit BMP → (w, h, 3, uint8 RGB array
+    row-major top-down). Raises ValueError on unsupported variants."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise ValueError("unsupported BMP variant")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=off)
+    rows = data.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return width, height, 3, rows[:, :, ::-1].reshape(-1)  # BGR → RGB, flat
+
+
+def write_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode a binary PPM (P6, maxval 255)."""
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
+def decode_ppm(payload: bytes):
+    """Decode a binary PPM (P6) → (w, h, 3, uint8 RGB flat array)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header: magic, width, height, maxval — whitespace separated, then
+    # exactly one whitespace byte before the raster
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(x) for x in fields)
+    if maxval != 255:
+        raise ValueError("unsupported PPM maxval")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, 3, arr
+
+
+def write_wav(samples, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """Encode PCM16 WAV from an int16 numpy array (interleaved)."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """Decode PCM16 WAV → (channels, sample_rate, int16 numpy array)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        sz = struct.unpack_from("<I", payload, i + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, i + 8)
+        elif cid == b"data":
+            data = payload[i + 8 : i + 8 + sz]
+        i += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("unsupported WAV encoding")
+    return channels, rate, np.frombuffer(data, dtype="<i2")
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """Deterministic test image: a (1 + id%31) × (1 + id%17) 24-bit BMP
+    whose flat RGB bytes are (doc_id + k) % 256 — closed-form oracle:
+    pixel-byte sum = S(seed+n) − S(seed), S(m) = (m//256)·32640 +
+    (m%256)(m%256−1)/2."""
+    w = 1 + doc_id % 31
+    h = 1 + doc_id % 17
+    n = w * h * 3
+    pix = ((doc_id % 256 + np.arange(n)) % 256).astype(np.uint8).tobytes()
+    return write_bmp(w, h, pix)
+
+
+def decode_image(payload: bytes, fake: bool = False):
+    """Container dispatch → (w, h, channels, uint8 flat pixel array).
+
+    Real decode for BMP and PPM; other containers raise unless
+    fake=True requests the deterministic test double (the plug point
+    for PIL/ffmpeg on compressed formats)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if fake:
+        n = len(payload)
+        w = 1 + n % 64
+        h = 1 + (n // 64) % 64
+        arr = np.frombuffer(
+            payload[: w * h * 3].ljust(w * h * 3, b"\0"), dtype=np.uint8
         )
-    n = len(payload)
-    w = 1 + n % 64
-    h = 1 + (n // 64) % 64
-    arr = np.frombuffer(payload[: w * h * 3].ljust(w * h * 3, b"\0"), dtype=np.uint8)
-    return w, h, 3, arr.astype(np.float32) / 255.0
+        return w, h, 3, arr
+    raise NotImplementedError(
+        "no codec for this container in this environment (BMP/PPM/WAV "
+        "decode natively; JPEG/PNG need an image library)"
+    )
 
 
 def decode_features(
@@ -71,23 +222,27 @@ def decode_features(
     feature_dim: int = 16,
     fake: bool = False,
 ) -> DataFrame:
-    """Decode + feature-extract: (id, width, height, channels, features).
+    """Decode + feature-extract:
+    (id, width, height, channels, pix_sum, features).
 
-    Arrow-batched mapInPandas; features = per-stripe means of the decoded
-    pixel array, length `feature_dim` (a stand-in for an embedding model
-    forward pass — same batch shape, same schema contract).
+    Arrow-batched mapInPandas over the REAL decoders (decode_image —
+    BMP/PPM native); pix_sum is the exact integer sum of decoded pixel
+    bytes (oracle-comparable), features = per-stripe means of the
+    normalized pixel array, length `feature_dim` (a stand-in for an
+    embedding model forward pass — same batch shape, same schema).
     """
     schema = (
-        "id long, width int, height int, channels int, "
-        f"features array<float>"
+        "id long, width int, height int, channels int, pix_sum long, "
+        "features array<float>"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, ws, hs, cs, feats = [], [], [], [], []
+            ids, ws, hs, cs, sums, feats = [], [], [], [], [], []
             for i, payload in zip(pdf[id_col], pdf[bin_col]):
-                w, h, c, arr = _decode_stub(bytes(payload), fake)
-                stripes = np.array_split(arr, feature_dim)
+                w, h, c, arr = decode_image(bytes(payload), fake)
+                sums.append(int(arr.astype(np.int64).sum()))
+                stripes = np.array_split(arr.astype(np.float32) / 255.0, feature_dim)
                 feats.append(
                     [float(s.mean()) if len(s) else 0.0 for s in stripes]
                 )
@@ -96,7 +251,14 @@ def decode_features(
                 hs.append(h)
                 cs.append(c)
             yield pd.DataFrame(
-                {"id": ids, "width": ws, "height": hs, "channels": cs, "features": feats}
+                {
+                    "id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "channels": cs,
+                    "pix_sum": sums,
+                    "features": feats,
+                }
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=schema)

@@ -274,9 +274,15 @@ def compress(
             )
 
         def _w_lt():
+            # range-partitioned + sorted by logtype_id: a query probing
+            # few ids reads few manifest FILES (min/max prune), not all
             summary.select(
                 "sink_id", "seg_id", F.explode("lt_set").alias("logtype_id")
-            ).write.mode("overwrite").parquet(
+            ).repartitionByRange("logtype_id").sortWithinPartitions(
+                "logtype_id"
+            ).write.mode("overwrite").option(
+                "parquet.bloom.filter.enabled#logtype_id", "true"
+            ).parquet(
                 os.path.join(out_dir, "manifest", "logtype")
             )
             # segment zone map: rows + ts range (+ source column) per
@@ -296,9 +302,18 @@ def compress(
         )
 
         def _w_var():
-            var_man.write.mode("overwrite").parquet(
-                os.path.join(out_dir, "manifest", "var")
-            )
+            # var-dict bloom analog (clp_s/filter/BloomFilter.hpp:18-29):
+            # the manifest is the var-side index searched with
+            # `var_id IN (...)` — range-partitioning + sorting by var_id
+            # gives each file/row group a tight disjoint id range (stats
+            # prune) and the parquet bloom catches the residue, so a
+            # dict-var-selective query touches few manifest files even
+            # above the driver-collect cap
+            var_man.repartitionByRange("var_id").sortWithinPartitions(
+                "var_id"
+            ).write.mode("overwrite").option(
+                "parquet.bloom.filter.enabled#var_id", "true"
+            ).parquet(os.path.join(out_dir, "manifest", "var"))
 
         def _w_metrics():
             var_card = (

@@ -158,8 +158,21 @@ def route_to_sinks(
     # buckets, cold sinks coalesce; partitionBy lays files out per
     # sink/segment dir so pruning is directory-level
     part_cols = ["sink_id"] + (["seg_id"] if "seg_id" in df.columns else [])
-    (
+    # GLT layout: cluster rows by logtype (then ts) WITHIN each task so
+    # parquet row-group min/max stats + the logtype bloom actually bite —
+    # the reference's group-by-logtype tables get 7.8× search speedup
+    # from exactly this clustering (docs/core-unstructured/glt.md:6-7,
+    # glt/streaming_archive/writer/LogtypeTable.hpp:13-17). Sorting by
+    # the partition columns first also satisfies the file writer's
+    # required dynamic-partition sort, so this adds no extra sort pass.
+    sort_cols = part_cols + ["logtype_id"]
+    for ts in ("warc_ts", "ts_ms"):
+        if ts in df.columns:
+            sort_cols.append(ts)
+            break
+    writer = (
         df.repartition(cfg.shuffle_partitions, *part_cols, "_salt")
+        .sortWithinPartitions(*sort_cols)
         .drop("_salt")
         .write.mode("overwrite")
         .partitionBy(*part_cols)
@@ -168,8 +181,10 @@ def route_to_sinks(
         # reference's var-dict bloom (BloomFilter.hpp:18-29, SURVEY §2.3)
         # — logtype isin prefilters skip row groups without the IDs
         .option("parquet.bloom.filter.enabled#logtype_id", "true")
-        .parquet(out_path)
     )
+    if cfg.parquet_block_size is not None:
+        writer = writer.option("parquet.block.size", str(cfg.parquet_block_size))
+    writer.parquet(out_path)
 
 
 def sink_manifests(

@@ -294,3 +294,101 @@ def test_manifest_cache_invalidated_on_rewrite(spark, pages_pdf, tmp_path):
     ).write.mode("overwrite").parquet(man_dir + "/logtype")
     second = _manifest_cached(spark, man_dir)
     assert set(second[0][0].keys()) == {424242}
+
+
+def test_glt_logtype_clustering_row_groups(spark, pages_pdf, tmp_path):
+    """Sink files are clustered by logtype (GLT layout — the reference
+    gets 7.8x search from this: glt.md:6-7, LogtypeTable.hpp:13-17):
+    rows within each file are sorted by logtype_id, and for a selective
+    logtype the row-group min/max stats exclude most row groups, which
+    is exactly what the parquet reader uses to skip them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    cfg = PipelineConfig(
+        num_sinks=2,
+        num_checkpoint_buckets=1,
+        shuffle_partitions=2,
+        segment_window_days=60.0,
+        parquet_block_size=8 * 1024,  # force several row groups per file
+    )
+    out = str(tmp_path / "glt_arch")
+    res = compress(spark, spark.createDataFrame(pages_pdf.iloc[:20000]), out, cfg)
+
+    files = glob.glob(res["sinks"] + "/sink_id=*/seg_id=*/*.parquet")
+    assert files
+    total_rgs = 0
+    multi_rg_files = 0
+    spans = []  # (min, max) per row group
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+            "logtype_id"
+        ]
+        prev_max = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            assert st is not None and st.has_min_max
+            # sorted within the file: row groups have non-overlapping,
+            # non-decreasing logtype ranges
+            if prev_max is not None:
+                assert st.min >= prev_max, f
+            prev_max = st.max
+            spans.append((st.min, st.max))
+            total_rgs += 1
+        if md.num_row_groups > 1:
+            multi_rg_files += 1
+    assert multi_rg_files > 0, "block size did not force multiple row groups"
+
+    # a selective logtype id: most row groups exclude it by min/max alone
+    lt_dict = spark.read.parquet(res["dicts"] + "/logtype")
+    rare = (
+        lt_dict.orderBy(F.col("n_rows").asc()).select("logtype_id").first()[0]
+    )
+    containing = sum(1 for lo, hi in spans if lo <= rare <= hi)
+    assert containing < total_rgs / 2, (containing, total_rgs)
+
+    # correctness unchanged: a pruned search over the clustered layout
+    got = {
+        r["url"]
+        for r in search_sinks(spark, out, "*deadbeef*").select("url").collect()
+    }
+    exp = _oracle(pages_pdf.iloc[:20000], "*deadbeef*")
+    assert got == exp
+
+
+def test_var_manifest_sorted_and_prunable(spark, compressed):
+    """The var manifest (the var-dict bloom analog, BloomFilter.hpp:
+    18-29) is written var_id-sorted with a parquet bloom on var_id:
+    row-group min/max stats alone must exclude most row groups for a
+    selective var_id — the physical property the reader's row-group
+    skip (and the bloom, unreadable via pyarrow 16 metadata) relies on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out, res = compressed
+    files = glob.glob(res["sink_manifest"] + "/var/*.parquet")
+    assert files
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+            "var_id"
+        ]
+        prev = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            assert st is not None and st.has_min_max
+            if prev is not None:
+                assert st.min >= prev, f
+            prev = st.max
+            spans.append((st.min, st.max))
+    # a var id present in exactly one manifest row: stats exclude most spans
+    v_dict = spark.read.parquet(res["dicts"] + "/var")
+    probe = v_dict.filter(F.col("value").startswith("deadbeef")).first()[
+        "var_id"
+    ]
+    containing = sum(1 for lo, hi in spans if lo <= probe <= hi)
+    assert containing <= max(1, len(spans) // 2), (containing, len(spans))

@@ -218,3 +218,59 @@ def test_frame_sample(spark):
     assert [r["frame_offset"] for r in rows] == [0, 1024, 2048, 3072]
     with pytest.raises(NotImplementedError):
         frame_sample(df, fake=False)
+
+
+def test_codecs_roundtrip():
+    """Native BMP/PPM/WAV codecs: encode→decode is byte-exact (public
+    container formats, no libraries — multimodal.py)."""
+    import numpy as np
+
+    from clp_spark.functions.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        decode_wav,
+        synth_bmp,
+        write_bmp,
+        write_ppm,
+        write_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (3, 2), (31, 17), (64, 5)]:
+        rgb = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+        for enc, dec in ((write_bmp, decode_bmp), (write_ppm, decode_ppm)):
+            w2, h2, c2, arr = dec(enc(w, h, rgb))
+            assert (w2, h2, c2) == (w, h, 3)
+            assert arr.tobytes() == rgb, (enc.__name__, w, h)
+    # dispatch picks the right parser
+    rgb = rng.integers(0, 256, 6 * 4 * 3, dtype=np.uint8).tobytes()
+    assert decode_image(write_bmp(6, 4, rgb))[3].tobytes() == rgb
+    assert decode_image(write_ppm(6, 4, rgb))[3].tobytes() == rgb
+
+    samples = rng.integers(-32768, 32768, 777, dtype=np.int16)
+    ch, rate, got = decode_wav(write_wav(samples, 8000, 1))
+    assert (ch, rate) == (1, 8000)
+    assert (got == samples).all()
+
+    # synth_bmp decodes to its closed-form pixel sum
+    for doc_id in (0, 1, 17, 31, 255, 256, 9999):
+        w, h, c, arr = decode_bmp(synth_bmp(doc_id))
+        n = w * h * 3
+        seed = doc_id % 256
+        S = lambda m: (m // 256) * 32640 + (m % 256) * ((m % 256) - 1) // 2
+        assert int(arr.astype(np.int64).sum()) == S(seed + n) - S(seed), doc_id
+
+
+def test_decode_features_real_bmp(spark):
+    from clp_spark.functions.multimodal import synth_bmp
+
+    df = spark.createDataFrame(
+        [(i, synth_bmp(i)) for i in (5, 123, 4096)], "doc_id long, payload binary"
+    )
+    rows = {r["id"]: r for r in decode_features(df).collect()}
+    for i in (5, 123, 4096):
+        assert rows[i]["width"] == 1 + i % 31
+        assert rows[i]["height"] == 1 + i % 17
+        assert rows[i]["channels"] == 3
+        assert len(rows[i]["features"]) == 16

@@ -223,6 +223,38 @@ def _events_json_archive(spark, sf):
     return _CORPUS_CACHE[key]
 
 
+def _events_json_uarchive(spark, sf):
+    """Unstructured-array variant (the clp_s DEFAULT): arrays stay whole
+    (UnstructuredArray nodes); a query path that dead-ends at one is
+    evaluated INSIDE the stored array text at query time
+    (QueryRunner.cpp:541-693; golden query 'arr.b > 1000' in
+    test-clp_s-search.cpp matches both array and object shapes)."""
+    key = ("json_uarch", id(spark), sf)
+    if key not in _CORPUS_CACHE:
+        from clp_spark.clps import encode_json_df
+
+        ev = _read(spark, sf, "events")
+        j = ev.select(
+            "event_id",
+            F.to_json(
+                F.struct(
+                    F.col("event_type").alias("type"),
+                    F.array(
+                        F.struct((F.col("user_id") % 13).alias("b"))
+                    ).alias("arr"),
+                    F.array(F.array(F.col("event_id") % 11)).alias("nested"),
+                    F.array(
+                        F.concat(F.lit("tag"), F.col("user_id") % 4)
+                    ).alias("tags"),
+                )
+            ).alias("json"),
+        )
+        arch = encode_json_df(j, "json", passthrough=["event_id"])
+        arch.encoded = arch.encoded.persist()
+        _CORPUS_CACHE[key] = arch
+    return _CORPUS_CACHE[key]
+
+
 def _logs_ts_corpus(spark, sf):
     """Log lines WITH leading timestamps, compressed with
     parse_timestamps=True — exercises per-message timestamp ingestion
@@ -236,6 +268,41 @@ def _logs_ts_corpus(spark, sf):
             "event_id",
             F.concat(
                 F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                F.lit(" "),
+                "event_type",
+                F.lit(" uid="),
+                "user_id",
+            ).alias("line"),
+        )
+        enc, lt, vd = compress_df(
+            lines,
+            PipelineConfig(parse_timestamps=True),
+            text_col="line",
+            passthrough=["event_id"],
+        )
+        _CORPUS_CACHE[key] = (enc.persist(), lt.persist(), vd.persist())
+    return _CORPUS_CACHE[key]
+
+
+def _logs_tz_corpus(spark, sf):
+    """Log lines whose leading timestamps carry TIMEZONE offsets
+    (clp_s \\z{...} patterns, TimestampParser.hpp:17-29): the tz text
+    rides with the row, ts_ms is normalized to true UTC, and decode
+    regenerates the original line byte-exactly."""
+    key = ("logs_tz", id(spark), sf)
+    if key not in _CORPUS_CACHE:
+        ev = _read(spark, sf, "events")
+        tz = F.element_at(
+            F.array(
+                F.lit("Z"), F.lit("+05:30"), F.lit("-08:00"), F.lit("+0200")
+            ),
+            (F.col("user_id") % 4 + 1).cast("int"),
+        )
+        lines = ev.select(
+            "event_id",
+            F.concat(
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+                tz,
                 F.lit(" "),
                 "event_type",
                 F.lit(" uid="),
@@ -600,6 +667,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return count_matches(m)
 
+    def clp_ts_tz_roundtrip(spark, sf):
+        # timezone-bearing leading timestamps (\z{...} analog): parse
+        # normalizes ts_ms to UTC, the tz text rides with the row, and
+        # decode + prepend regenerates every line byte-exactly
+        from clp_spark.functions.timestamps import prepend_timestamps_df
+
+        enc, lt, vd = _logs_tz_corpus(spark, sf)
+        dec = decode_messages(enc, lt, vd, "line")
+        return prepend_timestamps_df(dec, "line").select("event_id", "line")
+
+    def clp_ts_tz_range_count(spark, sf):
+        # ts-range over the tz-NORMALIZED epoch: identical wall-clock
+        # strings with different offsets land at different UTC instants,
+        # so this only matches the oracle if normalization is right
+        enc, lt, vd = _logs_tz_corpus(spark, sf)
+        m = search(
+            enc, lt, vd, "*view*",
+            ts_range=(1704412800000, 1705017600000),
+            ts_col="ts_ms",
+        )
+        return count_matches(m)
+
     def clp_json_array_filter(spark, sf):
         # structurized arrays: element-level predicate inside an array
         # plus an object-in-array field (SchemaTree.hpp:43
@@ -609,6 +698,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         arch = _events_json_sarchive(spark, sf)
         return kql_query(arch, "arr: 3 AND objs.n: 1").select("event_id")
 
+    def clp_json_unstructured_array(spark, sf):
+        # UNstructurized arrays: 'arr.b' dead-ends at an
+        # UnstructuredArray node and is evaluated inside the array text
+        # (incl. a nested array of ints and a wildcard string match)
+        from clp_spark.clps import kql_query
+
+        arch = _events_json_uarchive(spark, sf)
+        return kql_query(
+            arch, '(arr.b >= 9 AND tags: "tag3") OR nested: 10'
+        ).select("event_id")
+
+    q["clp_json_unstructured_array"] = clp_json_unstructured_array
     q["clp_grep"] = clp_grep
     q["clp_kql_query"] = clp_kql_query
     q["clp_kql_count_by_time"] = clp_kql_count_by_time
@@ -617,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clp_json_array_filter"] = clp_json_array_filter
     q["clp_ts_ingest_roundtrip"] = clp_ts_ingest_roundtrip
     q["clp_ts_ingest_range_count"] = clp_ts_ingest_range_count
+    q["clp_ts_tz_roundtrip"] = clp_ts_tz_roundtrip
+    q["clp_ts_tz_range_count"] = clp_ts_tz_range_count
     q["clp_json_typed_filter"] = clp_json_typed_filter
     q["clp_json_clpstring_eq"] = clp_json_clpstring_eq
     q["clp_json_roundtrip"] = clp_json_roundtrip
@@ -1001,10 +1104,38 @@ def oracle_sql() -> dict[str, str]:
               AND (epoch_ms(ts) // 1000) * 1000 >= 1704412800000
               AND (epoch_ms(ts) // 1000) * 1000 <= 1705017600000
         """,
+        "clp_ts_tz_roundtrip": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                   || CASE user_id % 4
+                        WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30'
+                        WHEN 2 THEN '-08:00' ELSE '+0200' END
+                   || ' ' || event_type || ' uid=' || user_id AS line
+            FROM events
+        """,
+        "clp_ts_tz_range_count": """
+            SELECT count(*) AS n FROM events
+            WHERE (' ' || event_type || ' uid=' || user_id) LIKE '%view%'
+              AND (epoch_ms(ts) // 1000) * 1000
+                  - CASE user_id % 4
+                      WHEN 0 THEN 0 WHEN 1 THEN 330
+                      WHEN 2 THEN -480 ELSE 120 END * 60000
+                  >= 1704412800000
+              AND (epoch_ms(ts) // 1000) * 1000
+                  - CASE user_id % 4
+                      WHEN 0 THEN 0 WHEN 1 THEN 330
+                      WHEN 2 THEN -480 ELSE 120 END * 60000
+                  <= 1705017600000
+        """,
         "clp_json_array_filter": """
             SELECT event_id FROM events
             WHERE (user_id % 5 = 3 OR event_id % 7 = 3)
               AND user_id % 3 = 1
+        """,
+        "clp_json_unstructured_array": """
+            SELECT event_id FROM events
+            WHERE (user_id % 13 >= 9 AND user_id % 4 = 3)
+               OR event_id % 11 = 10
         """,
         "clp_json_typed_filter": """
             SELECT event_id FROM events

@@ -100,7 +100,7 @@ def parse_kql_timestamp(ts_str: str) -> int:
     parser here: kql.cpp:82-145)."""
     from clp_spark.functions.timestamps import match_leading_timestamp
 
-    pid, ts_ms, prefix, rest = match_leading_timestamp(ts_str)
+    pid, ts_ms, prefix, _tz, rest = match_leading_timestamp(ts_str)
     if pid is None or prefix != "" or rest.strip() != "":
         raise ValueError(f"unparseable timestamp literal: {ts_str!r}")
     return ts_ms

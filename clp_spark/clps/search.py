@@ -26,6 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 from clp_spark.clps.encoder import (
+    NODE_ARRAY,
     NODE_BOOL,
     NODE_CLPSTR,
     NODE_FLOAT,
@@ -281,6 +282,134 @@ def _has_wildcard(s: str) -> bool:
     return False
 
 
+# above this many '['-prefixed dictionary values, unstructured-array
+# filters stop contributing (matches the pre-feature behavior; the var
+# dict is CLP-small by design so this trips only on degenerate corpora)
+_MAX_ARRAY_DICT_VALUES = 2_000_000
+
+
+def _eval_array_value(v, toks, i, op, value, ignore_case) -> bool:
+    """Reference-exact filter evaluation INSIDE an unstructured array
+    (QueryRunner.cpp evaluate_array_filter_{value,array,object}:567-693):
+    objects consume one path token by exact key; nested arrays recurse
+    without consuming; leaves match when all tokens are consumed —
+    strings wildcard-match on EQ only, numbers compare under every op
+    (cross int/float), bool/null on EQ/NEQ."""
+    from clp_spark.search.wildcard import wildcard_match
+
+    if isinstance(v, dict):
+        if i >= len(toks):
+            return False
+        sub = v.get(toks[i])
+        if sub is None and toks[i] not in v:
+            return False
+        if i + 1 == len(toks) and op in ("exists", "nexists"):
+            return op == "exists"
+        return _eval_array_value(sub, toks, i + 1, op, value, ignore_case)
+    if isinstance(v, list):
+        return any(
+            _eval_array_value(el, toks, i, op, value, ignore_case) for el in v
+        )
+    if i != len(toks) or op in ("exists", "nexists"):
+        return False
+    if isinstance(v, bool):
+        if not isinstance(value, bool) or op not in ("eq", "neq"):
+            return False
+        return (v == value) if op == "eq" else (v != value)
+    if isinstance(v, (int, float)):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return False
+        if op == "eq":
+            return v == value
+        if op == "neq":
+            return v != value
+        if op == "gt":
+            return v > value
+        if op == "gte":
+            return v >= value
+        if op == "lt":
+            return v < value
+        return v <= value
+    if isinstance(v, str):
+        # strings match only under EQ (QueryRunner.cpp:596-606)
+        if op != "eq" or not isinstance(value, str):
+            return False
+        a, b = (value.lower(), v.lower()) if ignore_case else (value, v)
+        return wildcard_match(a, b) if _has_wildcard(a) else a == b
+    if v is None:
+        return op == "eq" and value is None
+    return False
+
+
+def _array_candidate_vals(archive: JsonArchive):
+    """(var_id, parsed array) for every '['-prefixed dictionary value —
+    collected once per archive (the reference keeps a per-archive array
+    dictionary and re-parses entries at query time,
+    QueryRunner.hpp:137,151). None above the driver cap."""
+    cached = getattr(archive, "_arr_vals_cache", None)
+    if cached is not None:
+        return cached if cached != "over" else None
+    rows = (
+        archive.var_dict.filter(F.col("value").startswith("["))
+        .limit(_MAX_ARRAY_DICT_VALUES + 1)
+        .collect()
+    )
+    if len(rows) > _MAX_ARRAY_DICT_VALUES:
+        archive._arr_vals_cache = "over"
+        return None
+    import json as _json
+
+    vals = []
+    for r in rows:
+        try:
+            obj = _json.loads(r["value"])
+        except ValueError:
+            continue
+        if isinstance(obj, list):
+            vals.append((r["var_id"], obj))
+    archive._arr_vals_cache = vals
+    return vals
+
+
+def _array_preds(
+    archive: JsonArchive, path: str, op: str, value, ignore_case: bool
+) -> tuple[list[Column], list[int]]:
+    """Predicates matching the condition INSIDE unstructured-array nodes
+    along every prefix of `path` (the reference resolves a query path
+    that dead-ends at an UnstructuredArray node by evaluating the
+    remaining tokens inside the stored array text —
+    QueryRunner.cpp:541-565). Only exact (non-wildcard) paths."""
+    preds: list[Column] = []
+    all_nodes: list[int] = []
+    if path == "*" or _has_wildcard(path):
+        return preds, all_nodes
+    parts = path.split(".")
+    vals = None
+    for cut in range(1, len(parts) + 1):
+        prefix = ".".join(parts[:cut])
+        anodes = _nodes_for_path(archive, prefix, {NODE_ARRAY})
+        if not anodes:
+            continue
+        if vals is None:
+            vals = _array_candidate_vals(archive)
+            if vals is None:
+                return [], []
+        toks = parts[cut:]
+        ids = [
+            vid
+            for vid, arr in vals
+            if any(
+                _eval_array_value(el, toks, 0, op, value, ignore_case)
+                for el in arr
+            )
+        ]
+        if ids:
+            body = ",".join(f"{int(i)}L" for i in ids)
+            preds.append(_exists_pred(anodes, f"x.enc in ({body})"))
+            all_nodes += anodes
+    return preds, all_nodes
+
+
 def json_predicate(
     archive: JsonArchive, path: str, op: str, value=None,
     ignore_case: bool = False,
@@ -295,14 +424,21 @@ def json_predicate(
     op = op.lower()
     if op == "exists":
         nodes = _nodes_for_path(archive, path)
-        return _has_path_pred(archive, path), nodes
+        pred = _has_path_pred(archive, path)
+        ap, an = _array_preds(archive, path, "exists", None, ignore_case)
+        for p in ap:
+            pred = pred | p
+        return pred, nodes + an
     if op == "nexists":
-        return ~_has_path_pred(archive, path), []
+        ex_pred, _ = json_predicate(archive, path, "exists", None, ignore_case)
+        return ~ex_pred, []
     if op == "neq":
         eq_pred, _ = json_predicate(archive, path, "eq", value, ignore_case)
-        return _has_path_pred(archive, path) & ~eq_pred, _nodes_for_path(
-            archive, path
-        )
+        pred = _has_path_pred(archive, path) & ~eq_pred
+        ap, an = _array_preds(archive, path, "neq", value, ignore_case)
+        for p in ap:
+            pred = pred | p
+        return pred, _nodes_for_path(archive, path) + an
     if op not in _CMP:
         raise ValueError(f"unknown op: {op}")
 
@@ -449,6 +585,14 @@ def json_predicate(
                 arr = ",".join(f"{int(r['var_id'])}L" for r in vrows)
                 preds.append(_exists_pred(nodes, f"x.enc in ({arr})"))
                 all_nodes += nodes
+
+    # unstructured arrays along the path: a query that dead-ends at an
+    # UnstructuredArray node evaluates its remaining tokens INSIDE the
+    # stored array text (QueryRunner.cpp:541-565) — 'arr.b > 1000'
+    # matches {"arr": [{"b": 1001}]} without structurize_arrays
+    ap, an = _array_preds(archive, path, op, value, ignore_case)
+    preds += ap
+    all_nodes += an
 
     if not preds:
         return F.lit(False), []  # dictionary/tree miss ⇒ provably empty

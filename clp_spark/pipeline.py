@@ -70,7 +70,7 @@ def _parse_phase(
     return tokenize_df(
         with_ts,
         text_col="rest",
-        passthrough=keep + ["ts_pattern_id", "ts_ms", "ts_prefix"],
+        passthrough=keep + ["ts_pattern_id", "ts_ms", "ts_prefix", "ts_tz"],
     )
 
 

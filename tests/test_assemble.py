@@ -10,7 +10,7 @@ from clp_spark.parse.assemble import split_and_assemble
 def _oracle_assemble(text: str) -> list[str]:
     msgs: list[list[str]] = []
     for line in text.split("\n"):
-        pid, _, _, _ = match_leading_timestamp(line)
+        pid = match_leading_timestamp(line)[0]
         if pid is None and msgs:
             msgs[-1].append(line)
         else:

@@ -614,3 +614,56 @@ class TestMixedNumericTypes:
         from clp_spark.clps import kql_query
 
         assert _ids(kql_query(marchive, "a > 2 AND a <= 10.5")) == [0, 1, 3, 4]
+
+
+class TestUnstructuredArraySearch:
+    """Queries into UNstructurized arrays (the clp_s default): a path
+    that dead-ends at an UnstructuredArray node is evaluated inside the
+    stored array text (QueryRunner.cpp evaluate_array_filter*:541-693).
+    Mirrors the golden 'arr.b > 1000' -> {7, 8} case from
+    test-clp_s-search.cpp (records 7/8 of test_search.jsonl) plus
+    nested arrays, strings, bools, and nulls."""
+
+    RECS = [
+        (0, '{"idx":0,"a":"clp string"}'),
+        (7, '{"idx":7,"arr":[{"a":999},{"b":1001}]}'),
+        (8, '{"idx":8,"arr":{"a":999,"b":1001}}'),
+        (14, '{"idx":14,"arr":[[{"b":2000}],5,"text val"]}'),
+        (15, '{"idx":15,"arr":[{"b":999}]}'),
+        (16, '{"idx":16,"arr":["abc de",1.5,null,true]}'),
+    ]
+
+    @pytest.fixture(scope="class")
+    def uarchive(self, spark):
+        df = spark.createDataFrame(self.RECS, "rid long, json string")
+        a = encode_json_df(df, "json", passthrough=["rid"])
+        a.encoded = a.encoded.persist()
+        a.encoded.count()
+        return a
+
+    def test_golden_arr_b_gt_1000(self, uarchive):
+        # matches BOTH the array-of-objects shape and the plain object
+        assert _ids(json_filter(uarchive, "arr.b", "gt", 1000)) == [7, 8, 14]
+
+    def test_numeric_ops_inside_arrays(self, uarchive):
+        assert _ids(json_filter(uarchive, "arr.b", "eq", 1001)) == [7, 8]
+        assert _ids(json_filter(uarchive, "arr.b", "lte", 999)) == [15]
+        assert _ids(json_filter(uarchive, "arr.b", "neq", 1001)) == [14, 15]
+        assert _ids(json_filter(uarchive, "arr", "eq", 5)) == [14]
+        assert _ids(json_filter(uarchive, "arr", "eq", 1.5)) == [16]
+
+    def test_strings_bools_nulls_inside_arrays(self, uarchive):
+        assert _ids(json_filter(uarchive, "arr", "eq", "text*")) == [14]
+        assert _ids(json_filter(uarchive, "arr", "eq", "abc de")) == [16]
+        assert _ids(json_filter(uarchive, "arr", "eq", True)) == [16]
+        assert _ids(json_filter(uarchive, "arr", "eq", None)) == [16]
+
+    def test_exists_inside_arrays(self, uarchive):
+        assert _ids(json_filter(uarchive, "arr.b", "exists")) == [7, 8, 14, 15]
+        assert _ids(json_filter(uarchive, "arr.b", "nexists")) == [0, 16]
+
+    def test_kql_front_end(self, uarchive):
+        from clp_spark.clps import kql_query
+
+        assert _ids(kql_query(uarchive, "arr.b > 1000")) == [7, 8, 14]
+        assert _ids(kql_query(uarchive, 'arr: "abc*" OR arr.b: 999')) == [15, 16]

@@ -62,23 +62,29 @@ CASES = [
     ("1735830245123 payload", 32, "", " payload"),  # %#3 wins over epoch13
     ("0735830245 payload", 35, "", " payload"),  # leading 0 → epoch-sec
     ("no timestamp here", None, "", "no timestamp here"),
+    # timezone-bearing patterns (clp_s \z{...} analog, ids 36-38)
+    ("2015-01-31T15:50:45.392+05:30 x", 36, "", " x"),
+    ("2015-01-31T15:50:45.392Z x", 36, "", " x"),
+    ("2015-01-31T15:50:45-0800 x", 37, "", " x"),
+    ("2015-01-31T15:50:45+02 x", 37, "", " x"),
+    ("2024-01-05 10:00:00 +0530 uid=7", 38, "", " uid=7"),
 ]
 
 
 @pytest.mark.parametrize("text,pid,prefix,rest", CASES)
 def test_match_and_roundtrip(text, pid, prefix, rest):
-    got_pid, ts_ms, got_prefix, got_rest = match_leading_timestamp(text)
+    got_pid, ts_ms, got_prefix, got_tz, got_rest = match_leading_timestamp(text)
     assert got_pid == pid, text
     assert got_prefix == prefix
     assert got_rest == rest
     if pid is not None:
-        regen = regenerate_timestamp(pid, ts_ms)
+        regen = regenerate_timestamp(pid, ts_ms, got_tz)
         assert prefix + regen + rest == text  # byte-identical reconstruction
 
 
 def test_pattern_count_matches_reference():
-    # 33 reference patterns + 3 repo extensions
-    assert len(TS_PATTERNS) == 36
+    # 33 reference patterns + 3 repo extensions + 2 epoch + 3 timezone
+    assert len(TS_PATTERNS) == 39
 
 
 @settings(max_examples=300, deadline=None)
@@ -97,11 +103,11 @@ def test_regen_reparses_to_same_value(ts_ms, pid):
         # matches and regen(0) has no reparseable form
         return
     text = pat.regen(ts_ms) + " tail"
-    got_pid, got_ts, _prefix, rest = match_leading_timestamp(text)
+    got_pid, got_ts, _prefix, got_tz, rest = match_leading_timestamp(text)
     assert rest == " tail" or rest.endswith(" tail")
     # an earlier pattern may legitimately win; whoever wins, regenerating
     # with the winner must reproduce the exact same text span
-    assert regenerate_timestamp(got_pid, got_ts) + rest == text
+    assert regenerate_timestamp(got_pid, got_ts, got_tz) + rest == text
 
 
 def test_extract_df(spark):
@@ -113,3 +119,40 @@ def test_extract_df(spark):
         assert rows[i]["ts_pattern_id"] == pid
         assert rows[i]["ts_prefix"] == (prefix if pid is not None else "")
         assert rows[i]["rest"] == rest
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=4102444799_000),
+    st.integers(min_value=-23, max_value=23),
+    st.integers(min_value=0, max_value=59),
+    st.sampled_from(["colon", "plain", "hh", "zulu"]),
+)
+def test_tz_patterns_normalize_to_utc(ts_ms, off_h, off_m, style):
+    """%z: parse adjusts to true UTC epoch; regen is byte-exact."""
+    if style == "zulu":
+        tz = "Z"
+        off = 0
+    else:
+        sign = "-" if off_h < 0 else "+"
+        h = abs(off_h)
+        if style == "hh":
+            tz, off_m = f"{sign}{h:02d}", 0
+        elif style == "colon":
+            tz = f"{sign}{h:02d}:{off_m:02d}"
+        else:
+            tz = f"{sign}{h:02d}{off_m:02d}"
+        off = (h * 60 + off_m) * (-1 if off_h < 0 else 1)
+    base = ts_ms - (ts_ms % 1000)  # pattern 37 has no millis
+    local = base + off * 60_000
+    if not (0 <= local <= 4102444799_000):
+        return
+    import datetime as dt
+
+    wall = dt.datetime.fromtimestamp(local / 1000, tz=dt.timezone.utc)
+    text = wall.strftime("%Y-%m-%dT%H:%M:%S") + tz + " x"
+    pid, got_ts, _p, got_tz, rest = match_leading_timestamp(text)
+    assert pid == 37 and rest == " x"
+    assert got_tz == tz
+    assert got_ts == base  # normalized to true UTC
+    assert regenerate_timestamp(pid, got_ts, got_tz) + rest == text

@@ -117,6 +117,35 @@ def main() -> None:
     shutil.rmtree(out2, ignore_errors=True)
     pages.unpersist()
 
+    # ---- distributed clp_s build (REPORTED SEPARATELY — headline
+    # accounting unchanged): force driver_dict_cap below the sf's
+    # dictionary cardinalities so the fully distributed build
+    # (assign_stable_ids ranks + join-based encode, encoder.py
+    # _encode_json_distributed) gets a measured cost at bench scale,
+    # not just a 7-record pytest ----
+    from clp_spark.clps import encode_json_df
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    j = ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.col("user_id").alias("uid"),
+                F.concat(
+                    F.lit("user "), "user_id", F.lit(" did "), "event_type"
+                ).alias("msg"),
+            )
+        ).alias("json"),
+    )
+    t0 = time.time()
+    dist_arch = encode_json_df(
+        j, "json", passthrough=["event_id"], driver_dict_cap=1
+    )
+    dist_rows = dist_arch.encoded.count()
+    clps_dist_sec = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
+
     total = round(sum(times.values()) + pipeline_wall, 3)
     result = {
         "metric": "clp_spark headline queries + compress pipeline",
@@ -135,6 +164,7 @@ def main() -> None:
             "docs_per_sec_repeat": round(n_pages / pipeline_wall2, 1),
         },
         "archive_build_sec": archive_build_sec,
+        "clps_distributed": {"rows": dist_rows, "build_sec": clps_dist_sec},
         "cpus": cpus,
     }
     print(json.dumps(result))

@@ -235,11 +235,135 @@ def build_dicts_small(
     return lt_df, v_df, lt_map, v_map
 
 
+# per-worker-process cache of (pd.Index, id ndarray) hashtables for
+# broadcast {str: id} maps, keyed by broadcast id — the index build
+# (one hash insert per dictionary entry) is paid once per worker, then
+# every Arrow batch's lookups are C-speed get_indexer probes
+_ENC_IDX_CACHE: dict = {}
+
+
+def _map_index(bvar):
+    import numpy as np
+
+    # worker-side Broadcast objects carry _path (unique spill file per
+    # broadcast), driver-side ones _bid; never key by id(value) — Python
+    # ids are reused after GC (same trap as search/decode's LRU fix)
+    k = getattr(bvar, "_path", None) or getattr(bvar, "_bid", None)
+    ent = _ENC_IDX_CACHE.get(k) if k is not None else None
+    if ent is None:
+        m = bvar.value
+        keys = pd.Index(list(m.keys()), dtype=object)
+        vals = np.fromiter(m.values(), dtype=np.int64, count=len(m))
+        if k is not None:
+            if len(_ENC_IDX_CACHE) >= 4:
+                _ENC_IDX_CACHE.clear()
+            _ENC_IDX_CACHE[k] = (keys, vals)
+        ent = (keys, vals)
+    return ent
+
+
+def _lookup_ids(keys, vals, arr):
+    """int64 ids for a pa.StringArray via the (keys, vals) hashtable.
+    dictionary_encode first: only UNIQUE strings are hashed in pandas
+    (logtypes are Zipf-heavy — a 64k-row batch has few distinct ones),
+    then the codes gather the per-unique ids back to row order."""
+    import numpy as np
+
+    enc = arr.dictionary_encode()
+    uniq = enc.dictionary.to_pandas()
+    idx = keys.get_indexer(uniq)
+    if (idx < 0).any():
+        raise KeyError(uniq[idx < 0].iloc[0])
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    return vals[idx][codes]
+
+
+def _encode_batches_arrow(
+    batches, b_lt, b_v, keep_idx, lt_idx, vs_idx, vt_idx, ev_idx, out_names
+):
+    """Vectorized dictionary-encode kernel over Arrow record batches:
+    list columns are flattened zero-copy through their offset buffers,
+    the VT_DICT positions are patched with var IDs in one gather, and
+    the output list columns are rebuilt from the same offsets — no
+    per-row or per-token Python (the former row loop here was the route
+    phase's cost ceiling)."""
+    import numpy as np
+    import pyarrow as pa
+
+    lt_ent = _map_index(b_lt) if b_lt is not None else None
+    v_ent = _map_index(b_v)
+    for rb in batches:
+        vt = rb.column(vt_idx)
+        vs = rb.column(vs_idx)
+        ev = rb.column(ev_idx)
+        offs = vt.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs0 = offs - offs[0]
+        types_flat = vt.flatten().to_numpy(zero_copy_only=False)
+        enc_flat = ev.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=True
+        )
+        mask = types_flat == VT_DICT
+        pos = np.nonzero(mask)[0]
+        if pos.size:
+            dstr = vs.flatten().take(pa.array(pos, pa.int64()))
+            vids = _lookup_ids(*v_ent, dstr)
+            enc_flat[pos] = vids
+        else:
+            vids = np.empty(0, np.int64)
+        cum = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
+        dict_offs = cum[offs0]
+        enc_arr = pa.ListArray.from_arrays(
+            pa.array(offs0.astype(np.int32)), pa.array(enc_flat, pa.int64())
+        )
+        did_arr = pa.ListArray.from_arrays(
+            pa.array(dict_offs.astype(np.int32)), pa.array(vids, pa.int64())
+        )
+        cols = [rb.column(i) for i in keep_idx]
+        if lt_ent is not None:
+            cols.append(
+                pa.array(_lookup_ids(*lt_ent, rb.column(lt_idx)), pa.int64())
+            )
+        cols += [enc_arr, did_arr]
+        yield pa.RecordBatch.from_arrays(cols, names=out_names)
+
+
 def encode_with_maps(
     parsed: DataFrame, logtype_map: dict, var_map: dict
 ) -> DataFrame:
     """Enrich with logtype_id + var IDs in one Arrow pass using broadcast
-    maps — no joins, no extra jobs (pairs with build_dicts_small)."""
+    maps — no joins, no extra jobs (pairs with build_dicts_small).
+    Vectorized: see _encode_batches_arrow."""
+    spark = parsed.sparkSession
+    b_lt = spark.sparkContext.broadcast(logtype_map)
+    b_v = spark.sparkContext.broadcast(var_map)
+
+    drop = ("logtype", "var_strs", "var_types", "enc_prelim")
+    keep = [c for c in parsed.columns if c not in drop]
+    src = parsed.select(*keep, "logtype", "var_strs", "var_types", "enc_prelim")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in parsed.schema
+        if f.name in keep
+    )
+    out_schema += (
+        ", logtype_id long, encoded_vars array<long>, dict_var_ids array<long>"
+    )
+    n = len(keep)
+    out_names = keep + ["logtype_id", "encoded_vars", "dict_var_ids"]
+
+    def run(batches):
+        yield from _encode_batches_arrow(
+            batches, b_lt, b_v, list(range(n)), n, n + 1, n + 2, n + 3, out_names
+        )
+
+    return src.mapInArrow(run, schema=out_schema)
+
+
+def encode_with_maps_pandas(
+    parsed: DataFrame, logtype_map: dict, var_map: dict
+) -> DataFrame:
+    """Row-at-a-time reference engine for encode_with_maps — kept for
+    the parity/fuzz tests that pin the vectorized kernel's semantics."""
     spark = parsed.sparkSession
     b_lt = spark.sparkContext.broadcast(logtype_map)
     b_v = spark.sparkContext.broadcast(var_map)
@@ -316,36 +440,23 @@ def encode_with_dicts(
             for c in with_lt.columns
             if c not in ("logtype", "var_strs", "var_types", "enc_prelim")
         ]
+        src = with_lt.select(*keep, "var_strs", "var_types", "enc_prelim")
         out_schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
             for f in with_lt.schema
             if f.name in keep
         )
         out_schema += ", encoded_vars array<long>, dict_var_ids array<long>"
+        n = len(keep)
+        out_names = keep + ["encoded_vars", "dict_var_ids"]
 
-        def patch(batches):
-            m = b_map.value
-            for pdf in batches:
-                enc_out = []
-                dict_ids_out = []
-                for strs, types, enc in zip(
-                    pdf["var_strs"], pdf["var_types"], pdf["enc_prelim"]
-                ):
-                    enc = list(enc)
-                    dict_ids = []
-                    for j, t in enumerate(types):
-                        if t == VT_DICT:
-                            vid = m[strs[j]]
-                            enc[j] = vid
-                            dict_ids.append(vid)
-                    enc_out.append(enc)
-                    dict_ids_out.append(dict_ids)
-                out = pdf[keep].copy()
-                out["encoded_vars"] = enc_out
-                out["dict_var_ids"] = dict_ids_out
-                yield out
+        def run(batches):
+            yield from _encode_batches_arrow(
+                batches, None, b_map, list(range(n)), -1, n, n + 1, n + 2,
+                out_names,
+            )
 
-        return with_lt.mapInPandas(patch, schema=out_schema)
+        return src.mapInArrow(run, schema=out_schema)
 
     # Large-dictionary fallback: synthesize a unique row key
     # (localCheckpoint pins the partition-dependent ids so both regroup

@@ -61,6 +61,60 @@ def test_encode_paths_identical(spark, pages_df):
     parsed.unpersist()
 
 
+def test_encode_arrow_matches_pandas_engine(spark, pages_df):
+    """The vectorized Arrow encode kernel must be row-identical to the
+    row-at-a-time pandas reference engine (same contract as the
+    tokenizer's engine parity)."""
+    from clp_spark.dicts.build import encode_with_maps, encode_with_maps_pandas
+
+    parsed = tokenize_df(pages_df).persist()
+    lt_df, v_df, lt_map, v_map = build_dicts_small(parsed)
+    a = encode_with_maps(parsed, lt_map, v_map)
+    b = encode_with_maps_pandas(parsed, lt_map, v_map)
+    assert a.schema == b.schema
+    key = lambda r: (
+        r["url"],
+        r["logtype_id"],
+        tuple(r["encoded_vars"]),
+        tuple(r["dict_var_ids"]),
+    )
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+    parsed.unpersist()
+
+
+def test_encode_arrow_empty_and_all_dict_rows(spark):
+    """Edge shapes: rows with zero vars, rows whose vars are ALL
+    dict-typed, and an empty frame."""
+    import pandas as pd
+
+    from clp_spark.dicts.build import encode_with_maps
+    from clp_spark.parse.tokenizer import tokenize_df
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["u0", "u1", "u2"],
+            "text": [
+                "plain static message no vars",
+                "alpha beta-7x gamma9z",
+                "",
+            ],
+        }
+    )
+    pages = spark.createDataFrame(pdf)
+    parsed = tokenize_df(pages, passthrough=["url"]).persist()
+    lt_df, v_df, lt_map, v_map = build_dicts_small(parsed)
+    rows = {
+        r["url"]: (tuple(r["encoded_vars"]), tuple(r["dict_var_ids"]))
+        for r in encode_with_maps(parsed, lt_map, v_map).collect()
+    }
+    assert rows["u0"] == ((), ())
+    assert len(rows["u1"][1]) >= 1  # dict vars present and patched
+    assert all(v in v_map.values() for v in rows["u1"][1])
+    empty = encode_with_maps(parsed.limit(0), lt_map, v_map)
+    assert empty.count() == 0
+    parsed.unpersist()
+
+
 def test_pipeline_distributed_dict_path(spark, pages_df, tmp_path):
     """compress with driver_dict_cap=0 (pure distributed path) produces
     the same sinks + metrics as the default driver path."""

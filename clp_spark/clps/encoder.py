@@ -100,7 +100,11 @@ def float_order_key(v: float) -> int:
     """Order-preserving int64 key for a double: identity for b ≥ 0,
     b ^ 0x7fff.. for negatives (reverses their bit order). int64
     comparisons on the key equal double comparisons, so float range
-    predicates run as plain long compares inside codegen."""
+    predicates run as plain long compares inside codegen. NOTE: ±0.0
+    compare equal as doubles but key to -1 vs 0 — the encoder (_walk)
+    normalizes -0.0's comparison key to 0 and keeps the sign in the
+    FMTFLOAT raw text; this function stays a pure bijection so decode
+    (_unkey_float) remains its exact inverse."""
     b = _f2bits(v)
     return b ^ _F_MASK if b < 0 else b
 
@@ -202,6 +206,14 @@ def _walk(
     elif isinstance(obj, float):
         okey = float_order_key(obj)
         raw = getattr(obj, "raw", None)
+        if okey == -1:
+            # -0.0: the doubles compare equal to 0.0, so the comparison
+            # key normalizes to 0; the sign survives via the FMTFLOAT
+            # raw-text column (ADVICE: ±0.0 key split broke 'a: 0.0').
+            out.append(
+                (path, NODE_FMTFLOAT, 0, raw if raw is not None else "-0.0", None)
+            )
+            return
         if raw is None and fast:
             # orjson fast path: the record-level canonical check proved
             # this float's source text equals orjson's rendering of it.

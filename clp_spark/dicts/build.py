@@ -129,9 +129,18 @@ def build_dicts_small_pandas(
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    # ONE decode of the parsed parquet feeds BOTH dictionary aggregates:
+    # the slim projection (just the 4 dict-relevant columns) is cached by
+    # whichever agg job touches each partition first, and the other reads
+    # the cache. Scanning parsed twice cost a full extra zstd decode pass
+    # (~20% of the whole job's CPU at 6M docs) and, worse, doubled the
+    # memory traffic of the dict phase — the kind of contention that only
+    # shows up at high parallelism and erodes N→4N scaling.
+    slim = parsed.select("logtype", "n_vars", "var_strs", "var_types").persist()
+
     def _lt() -> pd.DataFrame | None:
         lt_agg = (
-            parsed.groupBy("logtype")
+            slim.groupBy("logtype")
             .agg(F.min("n_vars").alias("num_vars"), F.count("*").alias("n_rows"))
             .persist()
         )
@@ -144,7 +153,7 @@ def build_dicts_small_pandas(
 
     def _v() -> pd.DataFrame | None:
         v_distinct = (
-            parsed.select(
+            slim.select(
                 F.explode(F.arrays_zip("var_strs", "var_types")).alias("z")
             )
             .filter(F.col("z.var_types") == VT_DICT)
@@ -162,9 +171,12 @@ def build_dicts_small_pandas(
     # the two dictionary builds are independent Spark jobs — run them
     # from two driver threads so each one's driver-serial tail (Arrow
     # collect, pandas concat) overlaps the other's executor work
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_lt, f_v = pool.submit(_lt), pool.submit(_v)
-        lt_pdf, v_pdf = f_lt.result(), f_v.result()
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_lt, f_v = pool.submit(_lt), pool.submit(_v)
+            lt_pdf, v_pdf = f_lt.result(), f_v.result()
+    finally:
+        slim.unpersist()
     if lt_pdf is None or v_pdf is None:
         return None
     lt_pdf.insert(0, "logtype_id", range(len(lt_pdf)))

@@ -38,12 +38,148 @@ from clp_spark.util import spread
 from clp_spark.route.fanout import (
     add_seg_id,
     add_sink_id,
-    hot_logtypes_from_dict,
     route_to_sinks,
     segment_summary,
     sink_metrics,
     sink_var_cardinality,
 )
+
+
+def _pa_type(dt):
+    """pyarrow type matching what Spark's own parquet writer would emit
+    for this Spark SQL type — driver-written bookkeeping files must read
+    back with the same schema the old executor-written files had."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.TimestampNTZType):
+        return pa.timestamp("us")
+    raise TypeError(f"unmapped Spark type {dt}")
+
+
+def _write_driver_parquet(dirpath: str, cols: dict, types: dict) -> None:
+    """One-file parquet dataset written driver-side with pyarrow (same
+    rationale as dicts.write_dict_parquet: the data is already on the
+    driver and tiny; a Spark write job costs multi-stage scheduling
+    seconds that Amdahl charges to every cluster size)."""
+    import pyarrow as pa
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    fs, resolved = pafs.FileSystem.from_uri(dirpath)
+    try:
+        fs.delete_dir(resolved)
+    except (FileNotFoundError, OSError):
+        pass
+    fs.create_dir(resolved, recursive=True)
+    arrays = [
+        pa.array(v, type=types[name]) if not isinstance(v, pa.Array) else v
+        for name, v in cols.items()
+    ]
+    tbl = pa.Table.from_arrays(
+        arrays, schema=pa.schema([(n, types[n]) for n in cols])
+    )
+    with fs.open_output_stream(f"{resolved}/part-00000.zstd.parquet") as out:
+        pq.write_table(tbl, out, compression="zstd")
+
+
+def _write_summary_derived(
+    summary_pdf, summary_fields, seg_cols, out_dir: str, cfg: PipelineConfig
+) -> None:
+    """Logtype manifest + ts zone map, derived driver-side from the
+    collected segment summary (a (sink, seg)-grouped frame — CLP-small
+    by the same design bound as the dictionaries). The manifest rows are
+    sorted by logtype_id so parquet row-group min/max stats prune
+    id-probing queries just like the old range-partitioned Spark write."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(summary_pdf)
+    if n:
+        lens = summary_pdf["lt_set"].map(len).to_numpy(dtype=np.int64)
+        sink_r = np.repeat(summary_pdf["sink_id"].to_numpy(np.int64), lens)
+        seg_r = np.repeat(summary_pdf["seg_id"].to_numpy(np.int64), lens)
+        lt_r = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in summary_pdf["lt_set"]]
+        ) if lens.sum() else np.array([], dtype=np.int64)
+        order = np.argsort(lt_r, kind="stable")
+        sink_r, seg_r, lt_r = sink_r[order], seg_r[order], lt_r[order]
+    else:
+        sink_r = seg_r = lt_r = np.array([], dtype=np.int64)
+    _write_driver_parquet(
+        os.path.join(out_dir, "manifest", "logtype"),
+        {"sink_id": sink_r, "seg_id": seg_r, "logtype_id": lt_r},
+        {"sink_id": pa.int64(), "seg_id": pa.int64(), "logtype_id": pa.int64()},
+    )
+
+    seg_out_cols = ["sink_id", "seg_id", "rows", *seg_cols]
+    _write_driver_parquet(
+        os.path.join(out_dir, "manifest", "segments"),
+        {c: summary_pdf[c] if n else [] for c in seg_out_cols},
+        {c: _pa_type(summary_fields[c]) for c in seg_out_cols},
+    )
+
+
+def _write_metrics_driver(
+    summary_pdf, vcard_pdf, summary_fields, ts_cols, metrics_dir: str,
+    cfg: PipelineConfig,
+) -> None:
+    """Per-sink metrics aggregated driver-side from the segment summary
+    (rows/cardinality/byte sums over a tiny frame) + the var-cardinality
+    counts from the one remaining distributed bookkeeping aggregation."""
+    import pandas as pd
+    import pyarrow as pa
+
+    vc = {
+        int(r["sink_id"]): int(r["var_cardinality"])
+        for _, r in vcard_pdf.iterrows()
+    }
+    recs = []
+    for sid, g in summary_pdf.groupby("sink_id", sort=True):
+        lt_all = set()
+        for a in g["lt_set"]:
+            lt_all.update(int(x) for x in a)
+        rec = {
+            "sink_id": int(sid),
+            "rows": int(g["rows"].sum()),
+            "logtype_cardinality": len(lt_all),
+            "n_encoded_vars": int(g["n_encoded_vars"].sum()),
+            "encoded_bytes": int(g["encoded_bytes"].sum()),
+            "raw_bytes": int(g["raw_bytes"].sum()),
+        }
+        for c, fn in zip(ts_cols, ("min", "max")):
+            rec[c] = getattr(g[c], fn)()
+        rec["var_cardinality"] = vc.get(int(sid), 0)
+        recs.append(rec)
+    out_cols = [
+        "sink_id", "rows", "logtype_cardinality", "n_encoded_vars",
+        "encoded_bytes", "raw_bytes", *ts_cols, "var_cardinality",
+    ]
+    mdf = pd.DataFrame(recs, columns=out_cols)
+    types = {
+        "sink_id": pa.int64(),
+        "rows": pa.int64(),
+        # size() in the Spark fallback (sink_metrics) emits int32 — match
+        "logtype_cardinality": pa.int32(),
+        "n_encoded_vars": pa.int64(),
+        "encoded_bytes": pa.int64(),
+        "raw_bytes": pa.int64(),
+        "var_cardinality": pa.int64(),
+        **{c: _pa_type(summary_fields[c]) for c in ts_cols},
+    }
+    _write_driver_parquet(
+        metrics_dir, {c: mdf[c] for c in out_cols}, types
+    )
 
 
 def _parse_phase(
@@ -153,6 +289,12 @@ def compress(
             parsed.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .option("compression", cfg.compression_codec)
+            # the parsed dir is an INTERMEDIATE: written once, re-read by
+            # the dict + encode phases, then superseded by the sinks.
+            # zstd level 1 (vs parquet's default 3) cuts the compression
+            # CPU of the biggest write in the job for a few % more bytes
+            # on a short-lived artifact; the sink files keep default 3.
+            .option("parquet.compression.codec.zstd.level", "1")
             .partitionBy("bucket")
             .parquet(parsed_dir)
         )
@@ -230,19 +372,6 @@ def compress(
             encoded = encode_with_dicts(
                 parsed_all, lt_dict, v_dict, cfg.driver_dict_cap
             )
-        if lt_pdf is not None:
-            # fresh fast path: the logtype dict (with n_rows) is already
-            # on the driver — no extra Spark jobs for hot-template detection
-            total = int(lt_pdf["n_rows"].sum()) or 0
-            hot = [
-                int(i)
-                for i in lt_pdf.loc[
-                    lt_pdf["n_rows"] >= cfg.hot_logtype_threshold * total,
-                    "logtype_id",
-                ]
-            ]
-        else:
-            hot = hot_logtypes_from_dict(lt_dict, cfg.hot_logtype_threshold)
         # persist the sinked rows: the metrics/manifest aggregations reuse
         # them directly instead of re-opening the many small sink files
         enc_sinked = add_seg_id(
@@ -251,47 +380,30 @@ def compress(
             window_days=cfg.segment_window_days,
         ).persist()
         encoded_schema = enc_sinked.schema
-        # The route write and ALL post-route bookkeeping (segment
-        # summary → manifests + zone map + per-sink metrics, plus the
-        # var-dict manifest's distinct-pair scan) run as CONCURRENT
-        # driver-thread jobs over the same persisted frame. Spark's
-        # per-block cache locks mean enc_sinked partitions are computed
-        # once no matter which job gets there first, and the bookkeeping
-        # aggregates overlap the route write's shuffle/IO tail instead
-        # of queueing serially behind it (the fixed small-job cost
-        # behind round 2's 29% local[32] pipeline-wall regression).
+        # The route write and the post-route bookkeeping run as
+        # CONCURRENT driver-thread jobs over the same persisted frame.
+        # Spark's per-block cache locks mean enc_sinked partitions are
+        # computed once no matter which job gets there first. Only TWO
+        # distributed aggregations remain: the segment summary (one
+        # (sink, seg)-grouped pass — CLP-small by design, like the
+        # dictionaries) and the var-dict manifest distinct. Everything
+        # the summary derives — logtype manifest, ts zone map, per-sink
+        # metrics — is written DRIVER-SIDE with pyarrow: each of those
+        # used to be its own multi-stage Spark write job, and those
+        # fixed scheduling seconds are charged to every cluster size
+        # (they were the dominant term in the N→4N efficiency loss once
+        # the vectorized tokenizer shrank the parallel fraction).
         from concurrent.futures import ThreadPoolExecutor
 
         need_metrics = "metrics" not in manifest.committed("metrics")
         t_m = time.time()
-        summary = segment_summary(enc_sinked).persist()
+        summary = segment_summary(enc_sinked)
         ts_cols = [c for c in ("ts_min", "ts_max") if c in summary.columns]
         seg_cols = ts_cols + (["ts_src"] if "ts_src" in summary.columns else [])
+        summary_fields = {f.name: f.dataType for f in summary.schema.fields}
 
         def _w_route():
-            route_to_sinks(
-                enc_sinked, sinks_dir, cfg, hot_logtypes=hot, presinked=True
-            )
-
-        def _w_lt():
-            # range-partitioned + sorted by logtype_id: a query probing
-            # few ids reads few manifest FILES (min/max prune), not all
-            summary.select(
-                "sink_id", "seg_id", F.explode("lt_set").alias("logtype_id")
-            ).repartitionByRange("logtype_id").sortWithinPartitions(
-                "logtype_id"
-            ).write.mode("overwrite").option(
-                "parquet.bloom.filter.enabled#logtype_id", "true"
-            ).parquet(
-                os.path.join(out_dir, "manifest", "logtype")
-            )
-            # segment zone map: rows + ts range (+ source column) per
-            # (sink, seg)
-            summary.select(
-                "sink_id", "seg_id", "rows", *seg_cols
-            ).write.mode("overwrite").parquet(
-                os.path.join(out_dir, "manifest", "segments")
-            )
+            route_to_sinks(enc_sinked, sinks_dir, cfg, presinked=True)
 
         var_man = (
             enc_sinked.select(
@@ -315,64 +427,44 @@ def compress(
                 "parquet.bloom.filter.enabled#var_id", "true"
             ).parquet(os.path.join(out_dir, "manifest", "var"))
 
-        def _w_metrics():
-            var_card = (
+        def _w_varcard():
+            return (
                 var_man.select("sink_id", "var_id")
                 .distinct()
                 .groupBy("sink_id")
                 .agg(F.count("*").alias("var_cardinality"))
+                .toPandas()
             )
-            sink_aggs = [
-                F.sum("rows").alias("rows"),
-                F.expr(
-                    "size(array_distinct(flatten(collect_list(lt_set))))"
-                ).alias("logtype_cardinality"),
-                F.sum("n_encoded_vars").alias("n_encoded_vars"),
-                F.sum("encoded_bytes").alias("encoded_bytes"),
-                F.sum("raw_bytes").alias("raw_bytes"),
-            ]
-            if ts_cols:
-                sink_aggs += [
-                    F.min("ts_min").alias("ts_min"),
-                    F.max("ts_max").alias("ts_max"),
-                ]
-            m = (
-                summary.groupBy("sink_id")
-                .agg(*sink_aggs)
-                .join(var_card, "sink_id", "left")
-                .na.fill({"var_cardinality": 0})
-                .select(
-                    "sink_id",
-                    "rows",
-                    "logtype_cardinality",
-                    "n_encoded_vars",
-                    "encoded_bytes",
-                    "raw_bytes",
-                    *ts_cols,
-                    "var_cardinality",
-                )
-                .orderBy("sink_id")
-            )
-            m.write.mode("overwrite").parquet(metrics_dir)
 
         with ThreadPoolExecutor(max_workers=4) as pool:
             f_route = pool.submit(_w_route)
-            f_lt, f_var = pool.submit(_w_lt), pool.submit(_w_var)
-            f_metrics = pool.submit(_w_metrics) if need_metrics else None
-            for f in (f_route, f_lt, f_var):
-                f.result()
+            f_sum = pool.submit(summary.toPandas)
+            f_var = pool.submit(_w_var)
+            f_vcard = pool.submit(_w_varcard) if need_metrics else None
+            summary_pdf = f_sum.result()
+            _write_summary_derived(
+                summary_pdf, summary_fields, seg_cols, out_dir, cfg
+            )
+            f_route.result()
+            f_var.result()
             manifest.commit(
                 "route", "route", run_id, wall_ms=int(1000 * (time.time() - t0))
             )
-            if f_metrics is not None:
-                f_metrics.result()
+            if f_vcard is not None:
+                _write_metrics_driver(
+                    summary_pdf,
+                    f_vcard.result(),
+                    summary_fields,
+                    ts_cols,
+                    metrics_dir,
+                    cfg,
+                )
                 manifest.commit(
                     "metrics",
                     "metrics",
                     run_id,
                     wall_ms=int(1000 * (time.time() - t_m)),
                 )
-        summary.unpersist()
         var_man.unpersist()
         enc_sinked.unpersist()
     if encoded_schema is None:

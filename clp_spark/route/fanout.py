@@ -140,23 +140,14 @@ def route_to_sinks(
     """Write encoded rows into per-sink parquet partitions, skew-salted.
 
     presinked=True: `encoded` already carries sink_id (caller persisted
-    it to also derive metrics without a sink read-back)."""
+    it to also derive metrics without a sink read-back).
+
+    hot_logtypes is accepted for API compatibility but unused: the range
+    partitioner below handles hot-template skew natively (rows equal on
+    every range key are split across partitions by the hash tiebreaker),
+    so no explicit salting pass is needed."""
     df = encoded if presinked else add_sink_id(encoded, cfg.num_sinks)
-    if hot_logtypes is None:
-        hot_logtypes = detect_hot_logtypes(df, cfg.hot_logtype_threshold)
 
-    if hot_logtypes:
-        salt = F.when(
-            F.col("logtype_id").isin(hot_logtypes),
-            F.pmod(F.xxhash64("url"), F.lit(cfg.num_salt_buckets)),
-        ).otherwise(F.lit(0))
-    else:
-        salt = F.lit(0)
-    df = df.withColumn("_salt", salt)
-
-    # shuffle on (sink_id, seg_id, salt): hot sinks spread across salt
-    # buckets, cold sinks coalesce; partitionBy lays files out per
-    # sink/segment dir so pruning is directory-level
     part_cols = ["sink_id"] + (["seg_id"] if "seg_id" in df.columns else [])
     # GLT layout: cluster rows by logtype (then ts) WITHIN each task so
     # parquet row-group min/max stats + the logtype bloom actually bite —
@@ -170,10 +161,27 @@ def route_to_sinks(
         if ts in df.columns:
             sort_cols.append(ts)
             break
+    # Range-partition the shuffle on the sort keys + a row-hash
+    # tiebreaker. Hashing on the raw (sink_id, seg_id, salt) tuple was a
+    # balls-in-bins skew trap: with ~num_sinks × num_segments distinct
+    # keys into shuffle_partitions buckets, some tasks drew 3 key-groups
+    # and others none — invisible at low parallelism (stragglers hide
+    # behind the queue) but the wall-setter at high parallelism, which
+    # tanked N→4N route scaling to ~2.4×. The range sampler instead
+    # equalizes ROWS per task; heavy (sink, seg) groups and hot
+    # logtypes split across contiguous partitions via the tiebreaker,
+    # directory layout still comes from partitionBy, and each output
+    # file now covers a NARROW logtype range — strictly better row-group
+    # min/max pruning than per-task-global sorting.
+    tiebreak = F.xxhash64(
+        *[c for c in ("url", "doc_id", "event_id") if c in df.columns][:1]
+        or ["logtype_id"]
+    )
     writer = (
-        df.repartition(cfg.shuffle_partitions, *part_cols, "_salt")
+        df.repartitionByRange(
+            cfg.shuffle_partitions, *[F.col(c) for c in sort_cols], tiebreak
+        )
         .sortWithinPartitions(*sort_cols)
-        .drop("_salt")
         .write.mode("overwrite")
         .partitionBy(*part_cols)
         .option("compression", cfg.compression_codec)

@@ -110,8 +110,10 @@ def build_var_dict(parsed: DataFrame, num_partitions: int = 8) -> DataFrame:
 
 
 def build_dicts_small_pandas(
-    parsed: DataFrame, sample_cap: int = 300_000
-) -> tuple[pd.DataFrame, pd.DataFrame, dict, dict] | None:
+    parsed: DataFrame,
+    sample_cap: int = 300_000,
+    route_count_cols: list | None = None,
+) -> tuple | None:
     """Fast path: both dictionaries collected, sorted, and ID'd on the
     driver (CLP's own model — dictionaries fit in memory:
     DictionaryReader.hpp loads them wholesale). Returns
@@ -119,6 +121,16 @@ def build_dicts_small_pandas(
     dictionary exceeds sample_cap (caller falls back to the fully
     distributed rank assignment). IDs are value-sorted ranks either way,
     so the two paths produce identical dictionaries.
+
+    route_count_cols: optional [(name, Column), ...] extra grouping
+    keys (lang + the segment window). When given, the logtype aggregate
+    groups by (logtype, *extras) and is rolled up to the plain logtype
+    dictionary driver-side, and the per-(logtype, *extras) counts come
+    back as a FIFTH tuple element — exact inputs for the analytic route
+    boundaries (route/fanout._route_with_bounds) at ZERO extra scans.
+    The 5th element is None (with the dictionary still built, via a
+    second agg over the same cache) if the grouped cardinality exceeds
+    the cap — the caller then falls back to the sampler route.
 
     Scaling shape: the distinct aggregate is computed ONCE and cached;
     the cardinality guard is a count over the cache, and the value sort
@@ -136,20 +148,59 @@ def build_dicts_small_pandas(
     # (~20% of the whole job's CPU at 6M docs) and, worse, doubled the
     # memory traffic of the dict phase — the kind of contention that only
     # shows up at high parallelism and erodes N→4N scaling.
-    slim = parsed.select("logtype", "n_vars", "var_strs", "var_types").persist()
+    extra_names = [n for n, _ in (route_count_cols or [])]
+    slim = parsed.select(
+        "logtype",
+        "n_vars",
+        "var_strs",
+        "var_types",
+        *[c.alias(n) for n, c in (route_count_cols or [])],
+    ).persist()
 
-    def _lt() -> pd.DataFrame | None:
+    from clp_spark.util import step_timer
+
+    def _lt_plain(src) -> pd.DataFrame | None:
         lt_agg = (
-            slim.groupBy("logtype")
+            src.groupBy("logtype")
             .agg(F.min("n_vars").alias("num_vars"), F.count("*").alias("n_rows"))
             .persist()
         )
         try:
-            if lt_agg.count() > sample_cap:
-                return None
-            return lt_agg.orderBy("logtype").toPandas()
+            with step_timer("dicts.lt_count"):
+                if lt_agg.count() > sample_cap:
+                    return None
+            with step_timer("dicts.lt_collect"):
+                return lt_agg.orderBy("logtype").toPandas()
         finally:
             lt_agg.unpersist()
+
+    def _lt() -> tuple[pd.DataFrame | None, pd.DataFrame | None]:
+        if not extra_names:
+            return _lt_plain(slim), None
+        g = (
+            slim.groupBy("logtype", *extra_names)
+            .agg(F.min("n_vars").alias("num_vars"), F.count("*").alias("n_rows"))
+            .persist()
+        )
+        try:
+            with step_timer("dicts.lt_count"):
+                grouped_n = g.count()
+            if grouped_n > sample_cap:
+                # grouped cardinality blew past the cap: rebuild the plain
+                # logtype dictionary over the same cache; no route counts
+                return _lt_plain(slim), None
+            with step_timer("dicts.lt_collect"):
+                counts_pdf = g.orderBy("logtype", *extra_names).toPandas()
+        finally:
+            g.unpersist()
+        lt_pdf = (
+            counts_pdf.groupby("logtype", sort=True)
+            .agg(num_vars=("num_vars", "min"), n_rows=("n_rows", "sum"))
+            .reset_index()
+        )
+        if len(lt_pdf) > sample_cap:
+            return None, None
+        return lt_pdf, counts_pdf
 
     def _v() -> pd.DataFrame | None:
         v_distinct = (
@@ -162,9 +213,11 @@ def build_dicts_small_pandas(
             .persist()
         )
         try:
-            if v_distinct.count() > sample_cap:
-                return None
-            return v_distinct.orderBy("value").toPandas()
+            with step_timer("dicts.v_count"):
+                if v_distinct.count() > sample_cap:
+                    return None
+            with step_timer("dicts.v_collect"):
+                return v_distinct.orderBy("value").toPandas()
         finally:
             v_distinct.unpersist()
 
@@ -174,15 +227,18 @@ def build_dicts_small_pandas(
     try:
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_lt, f_v = pool.submit(_lt), pool.submit(_v)
-            lt_pdf, v_pdf = f_lt.result(), f_v.result()
+            (lt_pdf, counts_pdf), v_pdf = f_lt.result(), f_v.result()
     finally:
         slim.unpersist()
     if lt_pdf is None or v_pdf is None:
         return None
-    lt_pdf.insert(0, "logtype_id", range(len(lt_pdf)))
-    lt_map = dict(zip(lt_pdf["logtype"], lt_pdf["logtype_id"]))
-    v_pdf.insert(0, "var_id", range(len(v_pdf)))
-    v_map = dict(zip(v_pdf["value"], v_pdf["var_id"]))
+    with step_timer("dicts.map_build"):
+        lt_pdf.insert(0, "logtype_id", range(len(lt_pdf)))
+        lt_map = dict(zip(lt_pdf["logtype"], lt_pdf["logtype_id"]))
+        v_pdf.insert(0, "var_id", range(len(v_pdf)))
+        v_map = dict(zip(v_pdf["value"], v_pdf["var_id"]))
+    if route_count_cols is not None:
+        return lt_pdf, v_pdf, lt_map, v_map, counts_pdf
     return lt_pdf, v_pdf, lt_map, v_map
 
 
@@ -345,9 +401,12 @@ def encode_with_maps(
     """Enrich with logtype_id + var IDs in one Arrow pass using broadcast
     maps — no joins, no extra jobs (pairs with build_dicts_small).
     Vectorized: see _encode_batches_arrow."""
+    from clp_spark.util import step_timer
+
     spark = parsed.sparkSession
-    b_lt = spark.sparkContext.broadcast(logtype_map)
-    b_v = spark.sparkContext.broadcast(var_map)
+    with step_timer("encode.broadcast_maps"):
+        b_lt = spark.sparkContext.broadcast(logtype_map)
+        b_v = spark.sparkContext.broadcast(var_map)
 
     drop = ("logtype", "var_strs", "var_types", "enc_prelim")
     keep = [c for c in parsed.columns if c not in drop]

@@ -34,15 +34,68 @@ from clp_spark.dicts.build import (
     write_dict_parquet,
 )
 from clp_spark.parse.tokenizer import tokenize_df
-from clp_spark.util import spread
+from clp_spark.util import spread, step_timer
 from clp_spark.route.fanout import (
     add_seg_id,
     add_sink_id,
     route_to_sinks,
+    segment_expr,
     segment_summary,
     sink_metrics,
     sink_var_cardinality,
 )
+
+# above this many (logtype, lang, window) cells the driver-side bounds
+# construction (a Python xxhash64 per cell) stops being free; fall back
+# to the sampler route rather than serialize seconds on the driver
+_MAX_BOUNDS_CELLS = 100_000
+
+
+def _route_bounds(counts_pdf, lt_map: dict, num_sinks: int):
+    """Exact analytic range-partition boundaries for the route shuffle.
+
+    Input: the per-(logtype[, lang], window) row counts that rode along
+    with the dictionary aggregation. Output: (bounds_pdf, total_rows)
+    where bounds_pdf has one row per (sink_id, seg_id, logtype_id) cell
+    with its cumulative start position in the (sink, seg, logtype)-
+    sorted global row order — what RangePartitioner would have derived
+    from a sample, but exact, deterministic, and with zero extra passes
+    over the data. sink_id is computed driver-side with the Spark-parity
+    xxhash64 oracle (the same pmod(xxhash64(logtype_id, lang), K) the
+    rows get in add_sink_id)."""
+    from clp_spark.oracle.xxhash import pmod, spark_xxhash64
+
+    if counts_pdf is None or len(counts_pdf) == 0 or len(counts_pdf) > _MAX_BOUNDS_CELLS:
+        return None
+    import pandas as pd
+
+    lt_ids = counts_pdf["logtype"].map(lt_map)
+    if "lang" in counts_pdf.columns:
+        sink = [
+            pmod(spark_xxhash64(int(lt), s), num_sinks)
+            for lt, s in zip(lt_ids, counts_pdf["lang"])
+        ]
+    else:
+        sink = [pmod(spark_xxhash64(int(lt)), num_sinks) for lt in lt_ids]
+    cells = pd.DataFrame(
+        {
+            "sink_id": pd.array(sink, dtype="int64"),
+            "seg_id": counts_pdf["_seg"].astype("int64"),
+            "logtype_id": lt_ids.astype("int64"),
+            "n": counts_pdf["n_rows"].astype("int64"),
+        }
+    )
+    cells = (
+        cells.groupby(["sink_id", "seg_id", "logtype_id"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    total = int(cells["n"].sum())
+    cells["_cum_before"] = (
+        cells["n"].cumsum().shift(1, fill_value=0).astype("float64")
+    )
+    cells["_cell_rows"] = cells["n"].astype("float64")
+    return cells.drop(columns=["n"]), total
 
 
 def _pa_type(dt):
@@ -311,24 +364,37 @@ def compress(
     # Fast path: dictionaries are CLP-small → one collect per dict,
     # driver-side value-sort. Fallback: fully distributed range-ranked
     # IDs. Both produce the same value-sorted-rank dictionaries.
-    lt_map = v_map = lt_pdf = None
+    lt_map = v_map = lt_pdf = route_counts = None
     if "dicts" not in manifest.committed("dicts"):
         t0 = time.time()
-        small = build_dicts_small_pandas(parsed_all, cfg.driver_dict_cap)
+        # the routing counts (exact per-(logtype, lang, window) rows for
+        # the analytic route boundaries) ride along with the logtype
+        # aggregation — same scan, slightly wider group key
+        extras = []
+        if "lang" in parsed_all.columns:
+            extras.append(("lang", F.col("lang")))
+        seg_col, _ = segment_expr(
+            parsed_all, cfg.num_segments, cfg.segment_window_days
+        )
+        extras.append(("_seg", seg_col))
+        small = build_dicts_small_pandas(
+            parsed_all, cfg.driver_dict_cap, route_count_cols=extras
+        )
         if small is not None:
-            lt_pdf, v_pdf, lt_map, v_map = small
-            write_dict_parquet(
-                lt_pdf,
-                os.path.join(dicts_dir, "logtype"),
-                LOGTYPE_DICT_ARROW_SCHEMA,
-                cfg.compression_codec,
-            )
-            write_dict_parquet(
-                v_pdf,
-                os.path.join(dicts_dir, "var"),
-                VAR_DICT_ARROW_SCHEMA,
-                cfg.compression_codec,
-            )
+            lt_pdf, v_pdf, lt_map, v_map, route_counts = small
+            with step_timer("dicts.write_parquet"):
+                write_dict_parquet(
+                    lt_pdf,
+                    os.path.join(dicts_dir, "logtype"),
+                    LOGTYPE_DICT_ARROW_SCHEMA,
+                    cfg.compression_codec,
+                )
+                write_dict_parquet(
+                    v_pdf,
+                    os.path.join(dicts_dir, "var"),
+                    VAR_DICT_ARROW_SCHEMA,
+                    cfg.compression_codec,
+                )
             lt_card, v_card = len(lt_map), len(v_map)
         else:
             build_logtype_dict(parsed_all, cfg.dict_id_partitions).write.mode(
@@ -372,20 +438,49 @@ def compress(
             encoded = encode_with_dicts(
                 parsed_all, lt_dict, v_dict, cfg.driver_dict_cap
             )
-        # persist the sinked rows: the metrics/manifest aggregations reuse
-        # them directly instead of re-opening the many small sink files
         enc_sinked = add_seg_id(
             add_sink_id(encoded, cfg.num_sinks),
             cfg.num_segments,
             window_days=cfg.segment_window_days,
-        ).persist()
+        )
         encoded_schema = enc_sinked.schema
-        # The route write and the post-route bookkeeping run as
-        # CONCURRENT driver-thread jobs over the same persisted frame.
-        # Spark's per-block cache locks mean enc_sinked partitions are
-        # computed once no matter which job gets there first. Only TWO
-        # distributed aggregations remain: the segment summary (one
-        # (sink, seg)-grouped pass — CLP-small by design, like the
+        bounds = (
+            _route_bounds(route_counts, lt_map, cfg.num_sinks)
+            if (
+                route_counts is not None
+                and lt_map is not None
+                and os.environ.get("CLP_ROUTE_BOUNDS", "1") != "0"
+            )
+            else None
+        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        need_metrics = "metrics" not in manifest.committed("metrics")
+        t_m = time.time()
+        if bounds is not None and bounds[1] > 0:
+            # Analytic single-pass route: encode flows straight into the
+            # boundary shuffle (no RangePartitioner sample pass, no
+            # full-width persist). Bookkeeping then re-reads the WRITTEN
+            # sinks with column pruning — a narrow scan of the compact
+            # columnar output (no url/text decode) instead of keeping
+            # the whole encoded frame cached.
+            with step_timer("route.write"):
+                route_to_sinks(
+                    enc_sinked, sinks_dir, cfg, presinked=True, bounds=bounds
+                )
+            book_src = spark.read.schema(encoded_schema).parquet(sinks_dir)
+            f_route_done = True
+        else:
+            # Sampler route (no timestamp column, resume without counts,
+            # or above-cap dictionaries): persist the sinked rows so the
+            # sample pass, the write, and the bookkeeping aggregations
+            # compute the encode once, and run the route write
+            # CONCURRENTLY with the bookkeeping from driver threads.
+            enc_sinked = enc_sinked.persist()
+            book_src = enc_sinked
+            f_route_done = False
+        # Only TWO distributed aggregations remain: the segment summary
+        # (one (sink, seg)-grouped pass — CLP-small by design, like the
         # dictionaries) and the var-dict manifest distinct. Everything
         # the summary derives — logtype manifest, ts zone map, per-sink
         # metrics — is written DRIVER-SIDE with pyarrow: each of those
@@ -393,20 +488,17 @@ def compress(
         # fixed scheduling seconds are charged to every cluster size
         # (they were the dominant term in the N→4N efficiency loss once
         # the vectorized tokenizer shrank the parallel fraction).
-        from concurrent.futures import ThreadPoolExecutor
-
-        need_metrics = "metrics" not in manifest.committed("metrics")
-        t_m = time.time()
-        summary = segment_summary(enc_sinked)
+        summary = segment_summary(book_src)
         ts_cols = [c for c in ("ts_min", "ts_max") if c in summary.columns]
         seg_cols = ts_cols + (["ts_src"] if "ts_src" in summary.columns else [])
         summary_fields = {f.name: f.dataType for f in summary.schema.fields}
 
         def _w_route():
-            route_to_sinks(enc_sinked, sinks_dir, cfg, presinked=True)
+            with step_timer("route.write"):
+                route_to_sinks(enc_sinked, sinks_dir, cfg, presinked=True)
 
         var_man = (
-            enc_sinked.select(
+            book_src.select(
                 "sink_id", "seg_id", F.explode("dict_var_ids").alias("var_id")
             )
             .distinct()
@@ -437,28 +529,34 @@ def compress(
             )
 
         with ThreadPoolExecutor(max_workers=4) as pool:
-            f_route = pool.submit(_w_route)
+            f_route = None if f_route_done else pool.submit(_w_route)
             f_sum = pool.submit(summary.toPandas)
             f_var = pool.submit(_w_var)
             f_vcard = pool.submit(_w_varcard) if need_metrics else None
-            summary_pdf = f_sum.result()
-            _write_summary_derived(
-                summary_pdf, summary_fields, seg_cols, out_dir, cfg
-            )
-            f_route.result()
-            f_var.result()
+            with step_timer("route.summary_collect"):
+                summary_pdf = f_sum.result()
+            with step_timer("route.summary_derived_write"):
+                _write_summary_derived(
+                    summary_pdf, summary_fields, seg_cols, out_dir, cfg
+                )
+            if f_route is not None:
+                with step_timer("route.write_wait"):
+                    f_route.result()
+            with step_timer("route.var_manifest_wait"):
+                f_var.result()
             manifest.commit(
                 "route", "route", run_id, wall_ms=int(1000 * (time.time() - t0))
             )
             if f_vcard is not None:
-                _write_metrics_driver(
-                    summary_pdf,
-                    f_vcard.result(),
-                    summary_fields,
-                    ts_cols,
-                    metrics_dir,
-                    cfg,
-                )
+                with step_timer("route.vcard_wait_and_metrics_write"):
+                    _write_metrics_driver(
+                        summary_pdf,
+                        f_vcard.result(),
+                        summary_fields,
+                        ts_cols,
+                        metrics_dir,
+                        cfg,
+                    )
                 manifest.commit(
                     "metrics",
                     "metrics",
@@ -466,7 +564,8 @@ def compress(
                     wall_ms=int(1000 * (time.time() - t_m)),
                 )
         var_man.unpersist()
-        enc_sinked.unpersist()
+        if not f_route_done:
+            enc_sinked.unpersist()
     if encoded_schema is None:
         encoded_schema = add_seg_id(
             add_sink_id(

@@ -35,6 +35,33 @@ def add_sink_id(
     )
 
 
+def segment_expr(
+    df: DataFrame,
+    num_segments: int,
+    window_days: float = 7.0,
+    ts_cols: tuple = ("warc_ts", "ts_ms"),
+    key_cols: tuple = ("url", "doc_id", "event_id"),
+):
+    """The seg_id Column for `df` (shared by add_seg_id and the
+    dict-phase routing-count aggregation, so both compute IDENTICAL
+    window ids — the analytic route boundaries depend on it)."""
+    ts = next((c for c in ts_cols if c in df.columns), None)
+    if ts is not None:
+        dt = dict(df.dtypes)[ts]
+        epoch_s = (
+            F.unix_timestamp(F.col(ts)).cast("double")
+            if dt.startswith("timestamp") or dt == "date"
+            else F.col(ts).cast("double") / F.lit(1000.0)
+        )
+        seg = F.floor(
+            F.coalesce(epoch_s, F.lit(0.0)) / F.lit(86400.0 * window_days)
+        )
+    else:
+        key = next((c for c in key_cols if c in df.columns), "logtype_id")
+        seg = F.pmod(F.xxhash64(key), F.lit(num_segments))
+    return seg.cast("long"), ts
+
+
 def add_seg_id(
     encoded: DataFrame,
     num_segments: int,
@@ -57,21 +84,8 @@ def add_seg_id(
     row-identity hash mod num_segments when no ts column is present.
     Either way seg_id is row-deterministic at any parallelism, so
     per-sink aggregates stay exact across cluster sizes."""
-    ts = next((c for c in ts_cols if c in encoded.columns), None)
-    if ts is not None:
-        dt = dict(encoded.dtypes)[ts]
-        epoch_s = (
-            F.unix_timestamp(F.col(ts)).cast("double")
-            if dt.startswith("timestamp") or dt == "date"
-            else F.col(ts).cast("double") / F.lit(1000.0)
-        )
-        seg = F.floor(
-            F.coalesce(epoch_s, F.lit(0.0)) / F.lit(86400.0 * window_days)
-        )
-    else:
-        key = next((c for c in key_cols if c in encoded.columns), "logtype_id")
-        seg = F.pmod(F.xxhash64(key), F.lit(num_segments))
-    return encoded.withColumn("seg_id", seg.cast("long"))
+    seg, _ = segment_expr(encoded, num_segments, window_days, ts_cols, key_cols)
+    return encoded.withColumn("seg_id", seg)
 
 
 def segment_summary(encoded_with_seg: DataFrame) -> DataFrame:
@@ -130,17 +144,133 @@ def hot_logtypes_from_dict(
     return [r["logtype_id"] for r in hot.select("logtype_id").collect()]
 
 
+def murmur3_long(value: int, seed: int = 42) -> int:
+    """Spark's Murmur3Hash (Murmur3_x86_32.hashLong, public MurmurHash3
+    spec) of a LongType value — the hash behind `repartition(n, col)`
+    placement (HashPartitioning = pmod(murmur3(col), n)). Implemented
+    driver-side so the analytic route can pick 'magic' key values that
+    land rows in exact partition indexes. Parity-tested against F.hash
+    in tests/test_route_bounds.py."""
+    m = 0xFFFFFFFF
+    h1 = seed & m
+    v = value & 0xFFFFFFFFFFFFFFFF
+    for half in (v & m, (v >> 32) & m):
+        k1 = (half * 0xCC9E2D51) & m
+        k1 = ((k1 << 15) | (k1 >> 17)) & m
+        k1 = (k1 * 0x1B873593) & m
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & m
+        h1 = (h1 * 5 + 0xE6546B64) & m
+    h1 ^= 8  # length in bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & m
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def magic_partition_keys(num_partitions: int) -> list[int]:
+    """Small ints m_p with pmod(murmur3(m_p), P) == p for every p, so
+    `repartition(P, lit-array[pid])` places each row in exactly the
+    partition index the analytic boundaries computed. The search is a
+    driver-side loop over a few hundred ints (coupon-collector)."""
+    keys: dict[int, int] = {}
+    i = 0
+    while len(keys) < num_partitions:
+        p = murmur3_long(i) % num_partitions
+        if p not in keys:
+            keys[p] = i
+        i += 1
+    return [keys[p] for p in range(num_partitions)]
+
+
+def _route_with_bounds(
+    df: DataFrame,
+    out_path: str,
+    cfg: PipelineConfig,
+    part_cols: list,
+    sort_cols: list,
+    tiebreak,
+    bounds_pdf,
+    total: int,
+) -> None:
+    """Analytic range route: partition boundaries computed from EXACT
+    per-(sink, seg, logtype) row counts that ride along with the
+    dictionary aggregation — zero extra scans.
+
+    Why not repartitionByRange: its RangePartitioner runs a SAMPLE job
+    that recomputes the mapInArrow encode of every input partition just
+    to draw ~100 keys each, which forces the encode output to be
+    persisted full-width so the write doesn't compute it twice — a
+    second full pass plus cache traffic that erodes N→4N scaling (the
+    bandwidth-bound phases are the ones that don't scale on a busy
+    host). Here rows go straight from the encode pass into the shuffle:
+
+        pid = floor((cum_before(sink,seg,logtype)
+                     + u01(row_hash) * cell_rows) / rows_per_partition)
+
+    Each partition receives a contiguous (sink,seg,logtype) range (the
+    same GLT clustering the range sort gave) and hot cells split
+    uniformly by the row hash (the sampler's tiebreaker, minus the
+    sampler). Placement uses magic key values with
+    pmod(murmur3(m_pid), P) == pid, so file contents and split points
+    are deterministic at ANY parallelism — the sampler's are not.
+    Counts as float64 are exact to 2^53 rows (>> the 10^12-doc target).
+    """
+    spark = df.sparkSession
+    p_n = int(cfg.shuffle_partitions)
+    rpp = max(1, -(-total // p_n))
+    b_sdf = spark.createDataFrame(bounds_pdf)
+    magic = magic_partition_keys(p_n)
+    u01 = (tiebreak.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    joined = df.join(
+        F.broadcast(b_sdf), ["sink_id", "seg_id", "logtype_id"], "left"
+    )
+    # rows whose cell is missing from the counts cannot occur (the counts
+    # come from the same frame) — the coalesce is a pure safety net that
+    # spreads such rows uniformly instead of failing
+    pos = F.coalesce(
+        F.col("_cum_before") + u01 * F.col("_cell_rows"),
+        u01 * F.lit(float(total)),
+    )
+    pid = F.least(F.lit(p_n - 1), F.floor(pos / F.lit(float(rpp)))).cast("int")
+    magic_col = F.element_at(
+        F.array(*[F.lit(mk) for mk in magic]).cast("array<long>"), pid + F.lit(1)
+    )
+    writer = (
+        joined.withColumn("_magic", magic_col)
+        .repartition(p_n, F.col("_magic"))
+        .sortWithinPartitions(*sort_cols)
+        .drop("_magic", "_cum_before", "_cell_rows")
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .option("compression", cfg.compression_codec)
+        .option("parquet.bloom.filter.enabled#logtype_id", "true")
+    )
+    if cfg.parquet_block_size is not None:
+        writer = writer.option("parquet.block.size", str(cfg.parquet_block_size))
+    writer.parquet(out_path)
+
+
 def route_to_sinks(
     encoded: DataFrame,
     out_path: str,
     cfg: PipelineConfig,
     hot_logtypes: list[int] | None = None,
     presinked: bool = False,
+    bounds: tuple | None = None,
 ) -> None:
     """Write encoded rows into per-sink parquet partitions, skew-salted.
 
     presinked=True: `encoded` already carries sink_id (caller persisted
     it to also derive metrics without a sink read-back).
+
+    bounds=(bounds_pdf, total_rows): exact per-(sink, seg, logtype) row
+    counts from the dictionary phase — takes the analytic single-pass
+    route (_route_with_bounds, no sampler job, no persist needed). When
+    None (no timestamp column, resume without counts, above-cap dicts)
+    the sampler-based range shuffle below stands.
 
     hot_logtypes is accepted for API compatibility but unused: the range
     partitioner below handles hot-template skew natively (rows equal on
@@ -177,6 +307,12 @@ def route_to_sinks(
         *[c for c in ("url", "doc_id", "event_id") if c in df.columns][:1]
         or ["logtype_id"]
     )
+    if bounds is not None and bounds[1] > 0:
+        bounds_pdf, total = bounds
+        _route_with_bounds(
+            df, out_path, cfg, part_cols, sort_cols, tiebreak, bounds_pdf, total
+        )
+        return
     writer = (
         df.repartitionByRange(
             cfg.shuffle_partitions, *[F.col(c) for c in sort_cols], tiebreak

@@ -114,9 +114,10 @@ def _segment_gather(src: np.ndarray, starts: np.ndarray, lens: np.ndarray):
     return flat, within, seg0
 
 
-def _empty_result(n_rows: int, logtypes=None, raw_bytes=None):
+def _empty_result(n_rows: int, raw_bytes=None):
     return {
-        "logtypes": logtypes if logtypes is not None else [""] * n_rows,
+        "lt_offsets": np.zeros(n_rows + 1, dtype=np.int64),
+        "lt_values": np.zeros(0, dtype=np.uint8),
         "tok_offsets": np.zeros(n_rows + 1, dtype=np.int64),
         "tok_val_offsets": np.zeros(1, dtype=np.int64),
         "tok_bytes": np.zeros(0, dtype=np.uint8),
@@ -131,27 +132,77 @@ def _empty_result(n_rows: int, logtypes=None, raw_bytes=None):
     }
 
 
-def parse_block(msgs: list):
-    """Tokenize a batch of messages (list[str], no Nones).
+def parse_block_buf(values: np.ndarray, offsets: np.ndarray):
+    """Tokenize a batch given Arrow-style string buffers: `values` the
+    concatenated UTF-8 bytes of all rows, `offsets` int64[n_rows+1] row
+    boundaries. ZERO per-row Python on input or output — the separated
+    scan buffer is built with one vectorized scatter (vs the list→join→
+    encode path, which allocates n_rows Python strings and copies the
+    text three times; measured, that conversion was ~30% of the batch
+    wall and pure memory traffic, the resource that does NOT scale with
+    cores on a shared bus).
 
     Returns None when the batch needs the scalar fallback (text contains
     bytes 0x00-0x03), else a dict with:
-      logtypes: list[str] (one per row)
+      lt_offsets: int64[n_rows+1], lt_values: uint8[...] — the logtype
+        column as Arrow string buffers
       tok_offsets: int64[n_rows+1] token-count offsets per row
       tok_val_offsets: int64[n_tok+1] byte offsets into tok_bytes
       tok_bytes: uint8[...] concatenated token utf-8 bytes
       var_types: int32[n_tok], enc: int64[n_tok]
       n_toks: int64[n_rows], raw_bytes: int64[n_rows]
     """
+    n_rows = len(offsets) - 1
+    if n_rows <= 0:
+        return _empty_result(0)
+    base = int(offsets[0])
+    total = int(offsets[-1]) - base
+    if base != 0:
+        values = values[base:]
+        offsets = offsets - base
+    raw_bytes = np.diff(offsets).astype(np.int64)
+    if total == 0:
+        return _empty_result(n_rows, raw_bytes=raw_bytes)
+    values = values[:total]
+    # guard: text must not contain separator/sentinel bytes (min is a
+    # pure reduction — no materialized mask)
+    if int(values.min()) < 4:
+        return None
+    if n_rows == 1:
+        b = values
+        seps = np.zeros(0, dtype=np.int64)
+    else:
+        # one scatter builds the 0x00-separated scan buffer: byte j of
+        # the flat text lands at j + row(j); the gaps stay 0x00
+        b = np.zeros(total + n_rows - 1, dtype=np.uint8)
+        rows = np.arange(n_rows, dtype=np.int64)
+        b[np.arange(total, dtype=np.int64) + np.repeat(rows, raw_bytes)] = values
+        seps = offsets[1:-1].astype(np.int64) + np.arange(
+            1, n_rows, dtype=np.int64
+        ) - 1
+    nb = len(b)
+    row_start = np.concatenate(([0], seps + 1))
+    row_end = np.append(seps, nb)
+    return _scan(b, seps, row_start, row_end, n_rows, raw_bytes)
+
+
+def parse_block(msgs: list):
+    """Tokenize a batch of messages (list[str], no Nones). Same contract
+    as parse_block_buf but list-in; `logtypes` comes back as list[str].
+    Kept for the scalar-comparison fuzz tests and pandas callers."""
     n_rows = len(msgs)
     if n_rows == 0:
-        return _empty_result(0)
+        r = _empty_result(0)
+        r["logtypes"] = []
+        return r
     big = "\x00".join(msgs)
     bb = big.encode("utf-8")
     b = np.frombuffer(bb, dtype=np.uint8)
     nb = len(b)
     if nb == 0:
-        return _empty_result(n_rows)
+        r = _empty_result(n_rows)
+        r["logtypes"] = [""] * n_rows
+        return r
 
     # guard: text must not contain the separator or sentinel bytes
     low = b < 4
@@ -162,16 +213,25 @@ def parse_block(msgs: list):
     row_start = np.concatenate(([0], seps + 1))
     row_end = np.append(seps, nb)
     raw_bytes = (row_end - row_start).astype(np.int64)
-
-    tc = _LUT_TC[b]
-    if not tc.any():
-        # pure static text everywhere
-        if np.flatnonzero(_LUT_ESC[b]).size:
-            lts = [m.translate(_ESC_TRANS_STR) for m in msgs]
+    r = _scan(b, seps, row_start, row_end, n_rows, raw_bytes)
+    if r is not None:
+        lo, lv = r["lt_offsets"], r["lt_values"]
+        s = lv.tobytes().decode("utf-8")
+        # byte offsets are valid str indexes only for ASCII; logtypes
+        # with multibyte statics take the per-row decode
+        if len(s) == len(lv):
+            r["logtypes"] = [s[lo[i]: lo[i + 1]] for i in range(n_rows)]
         else:
-            lts = list(msgs)
-        return _empty_result(n_rows, logtypes=lts, raw_bytes=raw_bytes)
+            bts = lv.tobytes()
+            r["logtypes"] = [
+                bts[lo[i]: lo[i + 1]].decode("utf-8") for i in range(n_rows)
+            ]
+    return r
 
+
+def _scan(b, seps, row_start, row_end, n_rows, raw_bytes):
+    nb = len(b)
+    tc = _LUT_TC[b]
     # ---- maximal token-char runs (one interleaved boundary scan) ----
     pad = np.zeros(nb + 2, dtype=np.int8)
     pad[1:-1] = tc
@@ -181,6 +241,9 @@ def parse_block(msgs: list):
     lens = ends - starts
 
     # ---- digit counts per run (the only full-array class cumsum) ----
+    # (A/B'd against flatnonzero(digits)+searchsorted: the position
+    # array at real-log digit density is large enough that the cumsum
+    # wins both single-core and 8-core-contended)
     c = np.zeros(nb + 1, dtype=np.int32)
     np.cumsum(_LUT_DIGIT[b], out=c[1:])
     digits = (c[ends] - c[starts]).astype(np.int64)
@@ -329,10 +392,24 @@ def parse_block(msgs: list):
         # parse_one's per-message translate (identity elsewhere)
         lt_bytes = np.insert(lt_bytes, escp, ord("\\"))
     lt_bytes = _LUT_SENT[lt_bytes]
-    logtypes = lt_bytes.tobytes().decode("utf-8").split("\x00")
+    # logtype column as Arrow string buffers (no Python strings): the
+    # 0x00 separators mark row boundaries (remap keeps 0 → 0; the guard
+    # excluded <4 bytes from the text itself)
+    if n_rows == 1:
+        lt_values = lt_bytes
+        lt_offsets = np.array([0, len(lt_bytes)], dtype=np.int64)
+    else:
+        sep_idx = np.flatnonzero(lt_bytes == 0)
+        lt_row_lens = (
+            np.diff(np.concatenate(([-1], sep_idx, [len(lt_bytes)]))) - 1
+        )
+        lt_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(lt_row_lens, out=lt_offsets[1:])
+        lt_values = lt_bytes[lt_bytes != 0]
 
     return {
-        "logtypes": logtypes,
+        "lt_offsets": lt_offsets,
+        "lt_values": lt_values,
         "tok_offsets": tok_offsets,
         "tok_val_offsets": tok_val_offsets,
         "tok_bytes": tok_bytes,

@@ -474,13 +474,43 @@ def _tokenize_df_arrow(df, text_col: str, passthrough: list[str]):
         import numpy as np
         import pyarrow as pa
 
-        from clp_spark.parse.npscan import parse_block
+        from clp_spark.parse.npscan import parse_block_buf
+
+        def _str_buffers(col):
+            """(values uint8, offsets int64) views of an Arrow string
+            column — no Python strings, no copies. None when the column
+            isn't plain utf8 (then the caller takes the list path)."""
+            if col.null_count:
+                import pyarrow.compute as pc
+
+                col = pc.fill_null(col, "")
+            if not pa.types.is_string(col.type):
+                return None
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset : col.offset + len(col) + 1
+            ].astype(np.int64)
+            vals = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            return vals, offs
 
         for rb in batches:
-            msgs = rb.column(n_pass).to_pylist()
-            msgs = [m if m is not None else "" for m in msgs]
-            r = parse_block(msgs)
+            col = rb.column(n_pass)
+            bufs = _str_buffers(col)
+            if bufs is not None:
+                r = parse_block_buf(*bufs)
+            else:
+                from clp_spark.parse.npscan import parse_block
+
+                msgs = [m if m is not None else "" for m in col.to_pylist()]
+                r = parse_block(msgs)
+                if r is not None:
+                    r["lt_offsets"] = np.cumsum(
+                        [0] + [len(s.encode()) for s in r["logtypes"]]
+                    )
+                    r["lt_values"] = np.frombuffer(
+                        "".join(r["logtypes"]).encode(), dtype=np.uint8
+                    )
             if r is None:
+                msgs = [m if m is not None else "" for m in col.to_pylist()]
                 rows = [parse_one(m) for m in msgs]
                 lt = pa.array([x[0] for x in rows], pa.string())
                 vs = pa.array([x[1] for x in rows], pa.list_(pa.string()))
@@ -492,17 +522,24 @@ def _tokenize_df_arrow(df, text_col: str, passthrough: list[str]):
                 )
             else:
                 n_tok = len(r["var_types"])
-                lt = pa.array(r["logtypes"], pa.string())
-                # token strings straight from (offsets, bytes) buffers
+                # logtype + token strings straight from (offsets, bytes)
+                # buffers — the whole output side is buffer assembly
+                lt = pa.Array.from_buffers(
+                    pa.utf8(),
+                    len(rb),
+                    [
+                        None,
+                        pa.py_buffer(r["lt_offsets"].astype(np.int32)),
+                        pa.py_buffer(np.ascontiguousarray(r["lt_values"])),
+                    ],
+                )
                 vals = pa.Array.from_buffers(
                     pa.utf8(),
                     n_tok,
                     [
                         None,
-                        pa.py_buffer(
-                            r["tok_val_offsets"].astype(np.int32).tobytes()
-                        ),
-                        pa.py_buffer(r["tok_bytes"].tobytes()),
+                        pa.py_buffer(r["tok_val_offsets"].astype(np.int32)),
+                        pa.py_buffer(np.ascontiguousarray(r["tok_bytes"])),
                     ],
                 )
                 offs = pa.array(r["tok_offsets"].astype(np.int32))

@@ -149,13 +149,21 @@ def build_dicts_small_pandas(
     # memory traffic of the dict phase — the kind of contention that only
     # shows up at high parallelism and erodes N→4N scaling.
     extra_names = [n for n, _ in (route_count_cols or [])]
+    # NO input-level persist: the logtype and var aggregations read
+    # DISJOINT column sets (logtype/n_vars/+extras vs var_strs/
+    # var_types), and `parsed` is parquet-backed (checkpoint bucket), so
+    # two column-pruned scans move strictly fewer bytes than building a
+    # deserialized JVM cache of the union and reading all of it twice —
+    # the cache build was the dict phase's scaling ceiling (measured
+    # 2.21x at 2→8 cores; the store+load traffic is pure bandwidth).
+    # The AGGREGATED frames below stay persisted (small, reused).
     slim = parsed.select(
         "logtype",
         "n_vars",
         "var_strs",
         "var_types",
         *[c.alias(n) for n, c in (route_count_cols or [])],
-    ).persist()
+    )
 
     from clp_spark.util import step_timer
 
@@ -224,12 +232,9 @@ def build_dicts_small_pandas(
     # the two dictionary builds are independent Spark jobs — run them
     # from two driver threads so each one's driver-serial tail (Arrow
     # collect, pandas concat) overlaps the other's executor work
-    try:
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_lt, f_v = pool.submit(_lt), pool.submit(_v)
-            (lt_pdf, counts_pdf), v_pdf = f_lt.result(), f_v.result()
-    finally:
-        slim.unpersist()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lt, f_v = pool.submit(_lt), pool.submit(_v)
+        (lt_pdf, counts_pdf), v_pdf = f_lt.result(), f_v.result()
     if lt_pdf is None or v_pdf is None:
         return None
     with step_timer("dicts.map_build"):

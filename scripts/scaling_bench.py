@@ -504,19 +504,22 @@ repeats: {[round(r, 3) for r in ratios]}.
   per sink — the routed-row equality contract; dictionary IDs are
   value-sorted ranks, so they are identical at any parallelism)
 
-Per-substage scaling measured separately (`scripts/diag_route.py`, 3M
-docs, pinned 2 vs 8 cores, sequential substages): parse+write 39.8s →
-13.7s; encode+persist 23.0s → 7.9s; route+write 16.2s → 6.4s —
-down from 22.3s/8.2s before round 4's range-partitioned route shuffle
-(hashing the raw (sink, seg, salt) tuple was a balls-in-bins trap:
-~num_sinks × num_segments distinct keys into shuffle_partitions
-buckets left some tasks with 3 key-groups and others idle — invisible
-at 2 cores, the wall-setter at 8); dictionary build carries a fixed
-driver-side collect+sort residue; manifest/metrics jobs are ~1-3s
-fixed scheduling cost each (they run CONCURRENTLY in the real
-pipeline). Fixed seconds per job amortize out at production scale
-(hours-long jobs on 10^12 docs), where the stage-weighted efficiency
-approaches the parse/encode bound.
+Per-step serial attribution (env `CLP_TIMING=1`, 1.5M docs, pinned 2
+vs 8 cores, sequential): dictionary count+agg jobs 6.2s → 2.5s (was
+9.0s → 4.1s before dropping the dict-phase input cache — the logtype
+and var aggregations read DISJOINT column sets of the parquet-backed
+parse checkpoint, so two column-pruned scans beat caching the union);
+dict collects 2.5s → 1.1s (driver Arrow collect, overlapped across two
+driver threads); route shuffle+write 19.3s → 6.7s (the analytic-bounds
+route: exact per-(sink, seg, logtype) counts ride along with the
+dictionary aggregation and the driver derives range boundaries — no
+RangePartitioner sample job, no full-width persist, rows flow straight
+from the encode pass into the shuffle, and file split points are
+deterministic at any parallelism); post-route bookkeeping reads back
+the WRITTEN sinks column-pruned (segment summary + var manifest,
+~2-3s, concurrent driver threads). Fixed driver seconds per job
+amortize out at production scale (hours-long jobs on 10^12 docs),
+where the stage-weighted efficiency approaches the parse/encode bound.
 
 Generated by `python scripts/scaling_bench.py`; re-run to reproduce
 (env: CLP_SCALE_PAGES, CLP_SCALE_N, CLP_SCALE_REPEATS).

@@ -1,0 +1,208 @@
+"""Retention garbage collection over routed sink archives.
+
+Segment-granular analog of the reference's archive garbage collector
+(job_orchestration/garbage_collector/archive_garbage_collector.py:
+36-116): delete data older than a retention cutoff, guarded so data a
+running query may still need is kept. The reference sweeps whole
+archives by their end_timestamp metadata row and clamps the sweep
+boundary to the oldest timestamp any active search still holds; here
+the unit is the (sink_id, seg_id) segment directory and the metadata is
+the segments zone map — a segment expires only when its ts_max lies
+STRICTLY before the effective cutoff, so any segment overlapping the
+cutoff survives (the same conservative rule).
+
+Spark-first shape: the zone map is CLP-small (one row per segment), so
+expiry is a driver-side scan of the manifest followed by directory
+deletes — zero data rows are read to decide. The token manifests
+(logtype, var) and the zone map itself are rewritten filtered to
+surviving segments; the search layer's mtime freshness token
+(search/sinks.py:58) then invalidates its collected-manifest caches
+automatically, so a session that GCs and re-queries sees the shrunken
+archive without restarts.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+__all__ = ["expire_segments"]
+
+_SEG_MANIFESTS = ("segments", "logtype", "var")
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _rewrite_filtered(man_dir: str, keep_mask_fn) -> None:
+    """Rewrite a manifest parquet directory keeping only rows whose
+    (sink_id, seg_id) survive. Row order is preserved, so the var
+    manifest stays var_id-sorted and its row-group min/max stats keep
+    pruning (the parquet bloom is not re-emitted — pyarrow cannot write
+    blooms; the next compress() rebuilds it, and the sorted min/max
+    stats are the primary skip mechanism either way)."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    dataset = ds.dataset(man_dir, format="parquet")
+    tbl = dataset.to_table()
+    keep = keep_mask_fn(tbl)
+    filtered = tbl.filter(keep)
+    for entry in os.scandir(man_dir):
+        if entry.is_file():
+            os.unlink(entry.path)
+        elif entry.is_dir():
+            shutil.rmtree(entry.path)
+    pq.write_table(
+        filtered, os.path.join(man_dir, "part-00000.parquet"),
+        compression="zstd",
+    )
+
+
+def expire_segments(
+    out_dir: str,
+    cutoff,
+    *,
+    query_floor=None,
+    dry_run: bool = False,
+    spark=None,
+) -> dict:
+    """Expire every segment whose zone-map ts_max < effective cutoff.
+
+    cutoff: retention boundary in the archive's zone-map unit — a
+        datetime for warc_ts-mapped archives, an int epoch-ms for
+        ts_ms-mapped ones (the unit the manifest's ts_src column was
+        built from; mixing units raises, mirroring the search layer's
+        ts_src guard).
+    query_floor: oldest timestamp any in-flight query may still read
+        (the reference's running-query min-ts guard). The effective
+        cutoff is min(cutoff, query_floor).
+    dry_run: report what WOULD be deleted without touching disk.
+    spark: optional SparkSession; when given, per-sink metrics are
+        recomputed from the surviving sink data (one column-pruned
+        scan). Without it the ingest-time metrics file is left as-is
+        (like the reference, whose compression stats describe the
+        archive at creation).
+
+    Returns {"expired": [(sink_id, seg_id), ...], "segments_deleted",
+    "rows_deleted", "bytes_freed", "effective_cutoff", "dry_run"}.
+    """
+    import pyarrow.dataset as ds
+
+    seg_dir = os.path.join(out_dir, "manifest", "segments")
+    if not os.path.isdir(seg_dir):
+        raise FileNotFoundError(f"no segments manifest at {seg_dir}")
+    seg = ds.dataset(seg_dir, format="parquet").to_table().to_pandas()
+    if "ts_max" not in seg.columns:
+        raise ValueError(
+            "archive has no timestamp zone map (compressed without a ts "
+            "column) — time-based retention cannot apply"
+        )
+
+    import pandas as pd
+
+    eff = cutoff
+    if query_floor is not None:
+        eff = min(cutoff, query_floor)
+    ts_max = seg["ts_max"]
+    is_dt_map = pd.api.types.is_datetime64_any_dtype(ts_max)
+    is_dt_cut = isinstance(eff, pd.Timestamp) or hasattr(eff, "tzinfo")
+    if is_dt_map != is_dt_cut:
+        src = seg["ts_src"].iloc[0] if "ts_src" in seg.columns and len(seg) else "?"
+        raise ValueError(
+            f"cutoff unit mismatch: zone map was built from {src!r} "
+            f"({'datetime' if is_dt_map else 'epoch-int'}), cutoff is "
+            f"{'datetime' if is_dt_cut else 'epoch-int'}"
+        )
+    if is_dt_map:
+        # Spark writes parquet timestamps as UTC instants; pyarrow reads
+        # them back tz-aware while Spark's own toPandas yields naive UTC.
+        # Accept either flavor of cutoff and align it to the map's dtype.
+        eff = pd.Timestamp(eff)
+        tz = getattr(ts_max.dtype, "tz", None)
+        if tz is not None and eff.tzinfo is None:
+            eff = eff.tz_localize("UTC")
+        elif tz is None and eff.tzinfo is not None:
+            eff = eff.tz_convert("UTC").tz_localize(None)
+
+    expired_mask = ts_max.notna() & (ts_max < eff)
+    expired = seg.loc[expired_mask, ["sink_id", "seg_id", "rows"]]
+    pairs = [(int(r.sink_id), int(r.seg_id)) for r in expired.itertuples()]
+    result = {
+        "expired": pairs,
+        "segments_deleted": len(pairs),
+        "rows_deleted": int(expired["rows"].sum()) if len(pairs) else 0,
+        "bytes_freed": 0,
+        "effective_cutoff": eff,
+        "dry_run": dry_run,
+    }
+    if not pairs:
+        return result
+
+    sinks_dir = os.path.join(out_dir, "sinks")
+    freed = 0
+    for sid, gid in pairs:
+        d = os.path.join(sinks_dir, f"sink_id={sid}", f"seg_id={gid}")
+        if os.path.isdir(d):
+            freed += _dir_bytes(d)
+            if not dry_run:
+                shutil.rmtree(d)
+    result["bytes_freed"] = freed
+    if dry_run:
+        return result
+
+    dead = set(pairs)
+
+    def _keep(tbl):
+        sink = tbl.column("sink_id").to_pylist()
+        segi = tbl.column("seg_id").to_pylist()
+        return [(s, g) not in dead for s, g in zip(sink, segi)]
+
+    for name in _SEG_MANIFESTS:
+        man = os.path.join(out_dir, "manifest", name)
+        if os.path.isdir(man):
+            _rewrite_filtered(man, _keep)
+
+    if spark is not None:
+        _refresh_metrics(spark, out_dir)
+    return result
+
+
+def _refresh_metrics(spark, out_dir: str) -> None:
+    """Recompute per-sink metrics from the surviving sink data — one
+    column-pruned scan, same aggregate shapes as compress()'s
+    bookkeeping (route/fanout.py sink_metrics + sink_var_cardinality)."""
+    import pyspark.sql.functions as F
+
+    from clp_spark.route.fanout import sink_metrics, sink_var_cardinality
+
+    sinks_dir = os.path.join(out_dir, "sinks")
+    metrics_dir = os.path.join(out_dir, "metrics")
+    if not os.path.isdir(metrics_dir):
+        return
+    enc = spark.read.parquet(sinks_dir)
+    m = sink_metrics(enc).join(
+        sink_var_cardinality(enc), "sink_id", "left"
+    ).withColumn(
+        "var_cardinality", F.coalesce("var_cardinality", F.lit(0))
+    )
+    pdf = m.toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for entry in os.scandir(metrics_dir):
+        if entry.is_file():
+            os.unlink(entry.path)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(metrics_dir, "part-00000.parquet"),
+        compression="zstd",
+    )

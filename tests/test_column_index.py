@@ -1,0 +1,130 @@
+"""Column-metadata index (IndexManager.hpp:14-27 analog): schema-tree
+(path, type) listing per archive + existence-based archive pruning for
+federated KQL, exact vs unpruned union."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from clp_spark.clps import encode_json_df
+from clp_spark.clps.index import (
+    archive_may_match,
+    read_column_index,
+    required_paths,
+    search_archives_kql,
+    write_column_index,
+)
+from clp_spark.clps.kql import kql_query
+
+DOCS_A = [
+    {"svc": "auth", "code": 200, "o": {"lat": 3.5}, "msg": "user alice ok"},
+    {"svc": "auth", "code": 500, "o": {"lat": 9.1}, "msg": "user bob err"},
+]
+DOCS_B = [
+    {"svc": "cart", "items": [{"sku": "x1", "qty": 2}], "msg": "add x1"},
+    {"svc": "cart", "items": [{"sku": "y2", "qty": 1}], "msg": "add y2"},
+]
+
+
+@pytest.fixture(scope="module")
+def archives(spark, tmp_path_factory):
+    dirs = []
+    for name, docs in (("a", DOCS_A), ("b", DOCS_B)):
+        df = spark.createDataFrame(
+            [(i, json.dumps(d)) for i, d in enumerate(docs)], "id long, j string"
+        )
+        arch = encode_json_df(df, "j", passthrough=["id"])
+        d = str(tmp_path_factory.mktemp(f"arch_{name}"))
+        arch.save(d)
+        write_column_index(d)
+        dirs.append(d)
+    return dirs
+
+
+def test_index_lists_paths_and_types(spark, archives):
+    da, db = archives
+    idx_a = dict(read_column_index(da))
+    assert "svc" in idx_a and "code" in idx_a and "o.lat" in idx_a
+    from clp_spark.clps.encoder import NODE_ARRAY, NODE_INT
+
+    assert idx_a["code"] == NODE_INT
+    idx_b = dict(read_column_index(db))
+    assert idx_b["items"] == NODE_ARRAY  # unstructured array leaf
+
+
+@pytest.mark.parametrize(
+    "q,want",
+    [
+        ("a: 1 AND b: 2", {"a", "b"}),
+        ("a: 1 OR b: 2", set()),
+        ("a: 1 OR a: 2", {"a"}),
+        ("NOT a: 1", set()),
+        ("a: 1 AND NOT b: 2", {"a"}),
+        ("o: {x: 1 AND y: 2}", {"o.x", "o.y"}),
+        ("a: (1 2 3)", {"a"}),
+        ("a: (not 1 2)", set()),
+        ('"$file": "x" AND a: 1', {"a"}),
+        ("lvl: * AND code > 3", {"lvl", "code"}),
+        ('"quoted.path": 5', {"quoted.path"}),
+        ("alice", set()),
+        ("(a: 1 OR b: 2) AND c: 3", {"c"}),
+    ],
+)
+def test_required_paths(q, want):
+    assert set(required_paths(q)) == want
+
+
+def test_array_prefix_descent():
+    idx = [("items", 6), ("svc", 4)]  # items is an UnstructuredArray
+    assert archive_may_match(idx, frozenset(["items.sku"]))
+    assert archive_may_match(idx, frozenset(["svc"]))
+    assert not archive_may_match(idx, frozenset(["missing.field"]))
+    # wildcard required path: exact wildcard hit, else array descent
+    assert archive_may_match(idx, frozenset(["s*c"]))
+    assert archive_may_match(idx, frozenset(["it*.sku"]))
+
+
+def test_federated_search_prunes_and_stays_exact(spark, archives):
+    da, db = archives
+    # field only archive A hosts
+    df, searched = search_archives_kql(spark, archives, "code: 500")
+    assert searched == [da]
+    assert [r["id"] for r in df.select("id").collect()] == [1]
+
+    # field only archive B hosts (inside an unstructured array)
+    df, searched = search_archives_kql(spark, archives, "items.sku: x1")
+    assert searched == [db]
+    assert df.count() == 1
+
+    # everything pruned
+    df, searched = search_archives_kql(spark, archives, "nope.zip: 1")
+    assert df is None and searched == []
+
+    # both match: pruned union == unpruned union
+    df, searched = search_archives_kql(spark, archives, 'msg: "*alice*" OR svc: cart')
+    assert searched == archives
+    got = {(r["archive"], r["id"]) for r in df.select("archive", "id").collect()}
+    expect = set()
+    from clp_spark.clps.encoder import JsonArchive
+
+    for d in archives:
+        arch = JsonArchive.load(spark, d)
+        for r in kql_query(arch, 'msg: "*alice*" OR svc: cart').select("id").collect():
+            import os
+
+            expect.add((os.path.basename(os.path.normpath(d)), r["id"]))
+    assert got == expect
+
+
+def test_read_builds_index_on_demand(spark, archives, tmp_path):
+    """Archives saved before indexing existed get the index lazily."""
+    import json as _json
+
+    df = spark.createDataFrame([(0, _json.dumps({"k": 7}))], "id long, j string")
+    arch = encode_json_df(df, "j", passthrough=["id"])
+    d = str(tmp_path / "legacy")
+    arch.save(d)
+    idx = read_column_index(d)  # no write_column_index call
+    assert ("k", 0) in idx

@@ -350,6 +350,52 @@ def _events_json_sarchive(spark, sf):
     return _CORPUS_CACHE[key]
 
 
+def _events_fed_dirs(spark, sf):
+    """Two SAVED archives with disjoint schemas (uid/msg vs amount) for
+    the column-index federated search (IndexManager.hpp:14-27 analog):
+    a query on a field only one archive hosts must load only that one."""
+    key = ("fed_dirs", id(spark), sf)
+    if key not in _CORPUS_CACHE:
+        import tempfile
+
+        from clp_spark.clps import encode_json_df
+        from clp_spark.clps.index import write_column_index
+
+        ev = _read(spark, sf, "events")
+        base = tempfile.mkdtemp(prefix="clp_fed_")
+        dirs = []
+        shapes = (
+            (
+                "a",
+                F.col("user_id") % 2 == 0,
+                F.struct(
+                    F.col("event_type").alias("type"),
+                    F.col("user_id").alias("uid"),
+                    F.concat(F.lit("user "), "user_id").alias("msg"),
+                ),
+            ),
+            (
+                "b",
+                F.col("user_id") % 2 == 1,
+                F.struct(
+                    F.col("event_type").alias("type"),
+                    (F.col("user_id") * 2).alias("amount"),
+                ),
+            ),
+        )
+        for name, pred, struct in shapes:
+            j = ev.filter(pred).select(
+                "event_id", F.to_json(struct).alias("json")
+            )
+            arch = encode_json_df(j, "json", passthrough=["event_id"])
+            d = os.path.join(base, name)
+            arch.save(d)
+            write_column_index(d)
+            dirs.append(d)
+        _CORPUS_CACHE[key] = dirs
+    return _CORPUS_CACHE[key]
+
+
 def warm_archives(spark: SparkSession, sf_dir: str) -> None:
     """Build every per-session encoded archive the queries share (CLP's
     model is compress-once / search-many). bench.py times THIS as the
@@ -647,6 +693,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         arch = _events_json_archive(spark, sf)
         return kql_query(arch, '"purchase"').select("event_id")
 
+    def clp_kql_federated(spark, sf):
+        # column-index federated KQL (IndexManager analog): 'uid' exists
+        # only in archive A's schema tree, so archive B is pruned by the
+        # index and never loaded; results must equal plain SQL over the
+        # rows archive A ingested
+        from clp_spark.clps.index import search_archives_kql
+
+        dirs = _events_fed_dirs(spark, sf)
+        df, searched = search_archives_kql(spark, dirs, "uid > 40")
+        assert searched == [dirs[0]], searched
+        return df.select("event_id")
+
     def clp_ts_ingest_roundtrip(spark, sf):
         # per-message timestamp parse at ingest + byte-exact regen at
         # decode (36-pattern table; oracle compares the raw line)
@@ -715,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clp_kql_count_by_time"] = clp_kql_count_by_time
     q["clp_kql_list_nested"] = clp_kql_list_nested
     q["clp_kql_bare_value"] = clp_kql_bare_value
+    q["clp_kql_federated"] = clp_kql_federated
     q["clp_json_array_filter"] = clp_json_array_filter
     q["clp_ts_ingest_roundtrip"] = clp_ts_ingest_roundtrip
     q["clp_ts_ingest_range_count"] = clp_ts_ingest_range_count
@@ -1091,6 +1150,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "clp_kql_bare_value": """
             SELECT event_id FROM events WHERE event_type = 'purchase'
+        """,
+        "clp_kql_federated": """
+            SELECT event_id FROM events
+            WHERE user_id % 2 = 0 AND user_id > 40
         """,
         "clp_ts_ingest_roundtrip": """
             SELECT event_id,

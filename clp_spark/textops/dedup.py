@@ -442,38 +442,94 @@ def simhash_near_dup_pairs(
     )
 
 
+def _cc_driver(spark, upairs: DataFrame, n_pairs: int):
+    """Collected-edge connected components: vertices rank-encoded by
+    sorted unique value (min rank ↔ min value, so reps match the
+    distributed engine exactly for any orderable id type — numpy object
+    arrays of str compare by code point, which equals Spark's UTF-8
+    binary string order). Pointer jumping (`lab = lab[lab]`) halves
+    label-tree depth every round, so convergence is O(log n) C-speed
+    passes over the edge arrays, not O(diameter) Spark jobs."""
+    import numpy as np
+
+    if n_pairs == 0:
+        return None
+    pdf = upairs.toPandas()
+    vals = np.concatenate(
+        [pdf["doc_a"].to_numpy(), pdf["doc_b"].to_numpy()]
+    )
+    uniq, inv = np.unique(vals, return_inverse=True)
+    src, dst = inv[:n_pairs], inv[n_pairs:]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        # pull the smaller label across each edge, both directions
+        np.minimum.at(lab, src, lab[dst])
+        np.minimum.at(lab, dst, lab[src])
+        lab = np.minimum(lab, lab[lab])
+        lab = np.minimum(lab, lab[lab])
+        if np.array_equal(lab, old):
+            break
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"id": uniq, "rep": uniq[lab]})
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     all_ids: DataFrame,
     id_col: str = "id",
     max_iters: int = 50,
+    driver_edge_cap: int = 5_000_000,
 ) -> DataFrame:
     """(id, rep) — connected components over a near-dup pair graph;
     rep = minimum doc id in the component (the canonical document a
     training-data dedup keeps).
 
-    Standard large-graph min-label propagation (HashToMin family): every
+    Two engines behind one result, the same cap-gated pattern as the
+    dictionaries (dicts/build.py): the EDGE graph of a dedup run is
+    tiny relative to the corpus (singletons never produce edges), so
+    up to `driver_edge_cap` distinct pairs the components are solved
+    driver-side with numpy pointer-jumping min-propagation — C-speed,
+    O(log n) rounds, no per-round Spark job overhead. Above the cap the
+    distributed HashToMin loop below takes over at full quality: every
     iteration joins current labels across edges and takes the min;
     converges in O(component diameter) rounds. Each round is one
     shuffle join + one aggregation; the loop is driver-side but all
     data stays distributed, and intermediate label frames are persisted
     then replaced (no lineage blow-up).
 
-    The iteration runs over EDGE-ENDPOINT vertices only: in a dedup
-    graph almost every document is a singleton, and a singleton's label
-    can never change — carrying all N ids through every round made each
-    round O(N) instead of O(E + V_edges). Singletons join back in one
-    final pass as their own rep.
+    The distributed iteration runs over EDGE-ENDPOINT vertices only: in
+    a dedup graph almost every document is a singleton, and a
+    singleton's label can never change — carrying all N ids through
+    every round made each round O(N) instead of O(E + V_edges).
+    Singletons join back in one final pass as their own rep.
 
     `pairs` needs (doc_a, doc_b); `all_ids` one row per document id in
     `id_col` (singletons become their own rep).
     """
+    spark = pairs.sparkSession
+    upairs = pairs.select("doc_a", "doc_b").distinct().persist()
+    n_pairs = upairs.count()
+    if n_pairs <= driver_edge_cap:
+        labels = _cc_driver(spark, upairs, n_pairs)
+        upairs.unpersist()
+        if labels is None:  # no edges: everyone is a singleton
+            return all_ids.select(
+                F.col(id_col).alias("id"), F.col(id_col).alias("rep")
+            )
+        return all_ids.select(F.col(id_col).alias("id")).join(
+            labels, "id", "left"
+        ).select("id", F.coalesce("rep", F.col("id")).alias("rep"))
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        upairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(upairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
         .persist()
     )
+    upairs.unpersist()
     # both edge directions are present, so distinct src = every vertex
     labels = (
         edges.select(F.col("src").alias("id"))

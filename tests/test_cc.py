@@ -1,11 +1,20 @@
-"""Connected-components dedup clustering (min-label propagation)."""
+"""Connected-components dedup clustering: the driver numpy engine
+(edge graph under the cap) and the distributed HashToMin loop must
+agree exactly."""
 
 from __future__ import annotations
 
+import pytest
+
 from clp_spark.textops.dedup import connected_components
 
+# cap=default exercises the driver pointer-jumping engine; cap=0 forces
+# the distributed label-propagation loop on the same graphs
+CAPS = [5_000_000, 0]
 
-def test_connected_components_known_graph(spark):
+
+@pytest.mark.parametrize("cap", CAPS)
+def test_connected_components_known_graph(spark, cap):
     # components: {0,1,2,3} (chain), {10,11}, {20} (singleton), {30,31,32}
     pairs = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 3), (10, 11), (31, 30), (31, 32)],
@@ -14,7 +23,10 @@ def test_connected_components_known_graph(spark):
     ids = spark.createDataFrame(
         [(i,) for i in [0, 1, 2, 3, 10, 11, 20, 30, 31, 32]], "id long"
     )
-    got = {r["id"]: r["rep"] for r in connected_components(pairs, ids).collect()}
+    got = {
+        r["id"]: r["rep"]
+        for r in connected_components(pairs, ids, driver_edge_cap=cap).collect()
+    }
     assert got == {
         0: 0, 1: 0, 2: 0, 3: 0,
         10: 10, 11: 10,
@@ -23,17 +35,22 @@ def test_connected_components_known_graph(spark):
     }
 
 
-def test_connected_components_long_chain(spark):
+@pytest.mark.parametrize("cap", CAPS)
+def test_connected_components_long_chain(spark, cap):
     # an 8-node path needs several propagation rounds to converge
     n = 8
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
     ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
-    got = {r["id"]: r["rep"] for r in connected_components(pairs, ids).collect()}
+    got = {
+        r["id"]: r["rep"]
+        for r in connected_components(pairs, ids, driver_edge_cap=cap).collect()
+    }
     assert got == {i: 0 for i in range(n)}
 
-def test_connected_components_string_ids(spark):
+@pytest.mark.parametrize("cap", CAPS)
+def test_connected_components_string_ids(spark, cap):
     # doc ids are URLs in the primary pipeline — no numeric cast allowed
     pairs = spark.createDataFrame(
         [("u/a", "u/b"), ("u/b", "u/c"), ("u/x", "u/y")],
@@ -42,9 +59,36 @@ def test_connected_components_string_ids(spark):
     ids = spark.createDataFrame(
         [(u,) for u in ["u/a", "u/b", "u/c", "u/x", "u/y", "u/z"]], "id string"
     )
-    got = {r["id"]: r["rep"] for r in connected_components(pairs, ids).collect()}
+    got = {
+        r["id"]: r["rep"]
+        for r in connected_components(pairs, ids, driver_edge_cap=cap).collect()
+    }
     assert got == {
         "u/a": "u/a", "u/b": "u/a", "u/c": "u/a",
         "u/x": "u/x", "u/y": "u/x",
         "u/z": "u/z",
     }
+
+
+def test_engines_agree_on_random_graph(spark):
+    """Property check: both engines produce identical reps on a messy
+    random graph (cliques + chains + singletons)."""
+    import random
+
+    rng = random.Random(7)
+    edges = set()
+    for _ in range(300):
+        a, b = rng.randrange(120), rng.randrange(120)
+        if a != b:
+            edges.add((a, b))
+    pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    ids = spark.createDataFrame([(i,) for i in range(140)], "id long")
+    fast = {
+        r["id"]: r["rep"]
+        for r in connected_components(pairs, ids).collect()
+    }
+    slow = {
+        r["id"]: r["rep"]
+        for r in connected_components(pairs, ids, driver_edge_cap=0).collect()
+    }
+    assert fast == slow

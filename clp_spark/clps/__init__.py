@@ -13,6 +13,11 @@ from clp_spark.clps.encoder import (
     encode_json_df,
     reconstruct_json_df,
 )
+from clp_spark.clps.index import (
+    read_column_index,
+    search_archives_kql,
+    write_column_index,
+)
 from clp_spark.clps.kql import kql_count, kql_count_by_time, kql_query
 from clp_spark.clps.search import json_filter, json_predicate, schema_candidates
 
@@ -33,5 +38,8 @@ __all__ = [
     "kql_count",
     "kql_count_by_time",
     "kql_query",
+    "read_column_index",
     "schema_candidates",
+    "search_archives_kql",
+    "write_column_index",
 ]

@@ -4,3 +4,4 @@ from clp_spark.route.fanout import (
     route_to_sinks,
     sink_metrics,
 )
+from clp_spark.route.gc import expire_segments

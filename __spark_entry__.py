@@ -890,6 +890,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cc = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
         return cc.select(F.col("id").alias("doc_id"), "rep")
 
+    def dedup_spans(spark, sf):
+        # ExactSubstr dedup at fixed 5-word span granularity (Lee et al.
+        # 2022 "Deduplicating Training Data Makes Language Models
+        # Better"): cross-doc duplicate spans survive only in the
+        # smallest doc_id; docs reassemble from surviving spans
+        from clp_spark.textops.dedup import strip_duplicated_spans
+
+        docs = _read(spark, sf, "documents")
+        return strip_duplicated_spans(docs, span_words=5).select(
+            "doc_id", "text"
+        )
+
+    q["dedup_spans"] = dedup_spans
     q["dedup_cluster_reps"] = dedup_cluster_reps
     q["dedup_exact"] = dedup_exact
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
@@ -1359,6 +1372,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _SHINGLES_CTE
         + "SELECT doc_a, doc_b FROM jpairs WHERE 5 * inter >= 4 * un",
+        "dedup_spans": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            chunks AS (
+              SELECT doc_id, g.i AS ord,
+                     array_to_string(ws[g.i*5+1 : g.i*5+5], ' ') AS chunk
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(
+                  0, CAST(ceil(len(ws)/5.0) - 1 AS BIGINT))) AS i) g
+            ),
+            stats AS (
+              SELECT chunk, count(*) AS n, min(doc_id) AS keeper
+              FROM chunks GROUP BY chunk
+            )
+            SELECT chunks.doc_id,
+                   string_agg(chunks.chunk, ' ' ORDER BY chunks.ord) AS text
+            FROM chunks JOIN stats USING (chunk)
+            WHERE stats.n = 1 OR chunks.doc_id = stats.keeper
+            GROUP BY chunks.doc_id
+        """,
         "dedup_cluster_reps": _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
         + """,
 p AS (SELECT doc_a, doc_b FROM jpairs WHERE 5 * inter >= 4 * un),

@@ -635,3 +635,87 @@ def embedding_near_dup_pairs(
         )
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
     )
+
+
+def _strip_dup_units(
+    units: DataFrame, id_col: str, text_col: str, joiner: str
+) -> DataFrame:
+    """Shared tail of the span/paragraph dedup: given (id, _ord, _para)
+    unit rows, keep a cross-document duplicate only in the smallest doc
+    id, then reassemble each surviving document in unit order."""
+    stats = units.groupBy("_para").agg(
+        F.count("*").alias("_n"), F.min(id_col).alias("_keeper")
+    )
+    kept = (
+        units.join(stats, "_para")
+        .filter((F.col("_n") == 1) | (F.col(id_col) == F.col("_keeper")))
+        .select(id_col, "_ord", "_para")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_ord", "_para"))).alias("_a"))
+        .select(
+            id_col,
+            F.expr(
+                f"array_join(transform(_a, x -> x._para), '{joiner}')"
+            ).alias(text_col),
+        )
+    )
+
+
+def strip_duplicated_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Span-level exact dedup at paragraph granularity (the ExactSubstr
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", restricted to paragraph boundaries — the
+    shape web-corpus curation pipelines actually ship): a paragraph
+    occurring in more than one document survives ONLY in the smallest
+    doc id (deterministic at any parallelism) and is stripped everywhere
+    else; unique paragraphs are untouched. Documents whose every
+    paragraph was stripped drop out of the result.
+
+    Scale shape: one explode -> one map-side-combined aggregate keyed on
+    the paragraph -> join back -> per-document regroup. No driver
+    collect, no quadratic candidate step; the only shuffles are the
+    count aggregation and the regroup, both on keys with bounded skew
+    (a paragraph duplicated across millions of docs still aggregates —
+    the JOIN fans out only per occurrence, which is the output size).
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_ord", "_para"),
+    )
+    return _strip_dup_units(paras, id_col, text_col, sep)
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    span_words: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr dedup over fixed-width word windows: the text splits
+    into consecutive `span_words`-word chunks; a chunk occurring in more
+    than one place survives only in the smallest doc id. Same
+    keep-the-first contract and scale shape as
+    strip_duplicated_paragraphs — for corpora without paragraph
+    structure (single-line pages, OCR, logs)."""
+    k = span_words
+    # bind the split to a column so it runs once per row (inlining it in
+    # the transform lambda re-splits per chunk — see word_shingle_sets)
+    spans = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    ).select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(_w)/{k}.0) as int) - 1),"
+                f" i -> array_join(slice(_w, i*{k}+1, {k}), ' '))"
+            )
+        ).alias("_ord", "_para"),
+    )
+    return _strip_dup_units(spans, id_col, text_col, " ")

@@ -274,3 +274,62 @@ def test_decode_features_real_bmp(spark):
         assert rows[i]["height"] == 1 + i % 17
         assert rows[i]["channels"] == 3
         assert len(rows[i]["features"]) == 16
+
+
+class TestSpanDedup:
+    """ExactSubstr-style span/paragraph dedup (Lee et al. 2022 shape):
+    duplicated units survive only in the smallest doc id."""
+
+    def test_strip_duplicated_paragraphs(self, spark):
+        from clp_spark.textops.dedup import strip_duplicated_paragraphs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha\n\ncommon para\n\nbeta"),
+                (2, "common para\n\ngamma"),
+                (3, "delta"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["text"]
+            for r in strip_duplicated_paragraphs(docs).collect()
+        }
+        assert got == {
+            1: "alpha\n\ncommon para\n\nbeta",
+            2: "gamma",
+            3: "delta",
+        }
+
+    def test_strip_duplicated_spans(self, spark):
+        from clp_spark.textops.dedup import strip_duplicated_spans
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e x y z v w"),
+                (2, "a b c d e q r s t u"),
+                (3, "solo text"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["text"]
+            for r in strip_duplicated_spans(docs, span_words=5).collect()
+        }
+        assert got == {
+            1: "a b c d e x y z v w",
+            2: "q r s t u",
+            3: "solo text",
+        }
+
+    def test_fully_stripped_doc_drops(self, spark):
+        from clp_spark.textops.dedup import strip_duplicated_spans
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["text"]
+            for r in strip_duplicated_spans(docs, span_words=3).collect()
+        }
+        assert got == {1: "a b c"}

@@ -902,6 +902,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "text"
         )
 
+    def sample_stratified(spark, sf):
+        # deterministic language-balanced sampling (training-data mix):
+        # membership = pure md5-h60 function of doc_id — identical rows
+        # at any parallelism / engine (df.sample is neither)
+        from clp_spark.textops.sampling import stratified_sample
+
+        docs = _read(spark, sf, "documents")
+        return stratified_sample(
+            docs, {"en": (1, 2), "de": (1, 4)}, strata_col="lang",
+            default=(1, 10),
+        ).select("doc_id", "lang")
+
+    q["sample_stratified"] = sample_stratified
     q["dedup_spans"] = dedup_spans
     q["dedup_cluster_reps"] = dedup_cluster_reps
     q["dedup_exact"] = dedup_exact
@@ -1372,6 +1385,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _SHINGLES_CTE
         + "SELECT doc_a, doc_b FROM jpairs WHERE 5 * inter >= 4 * un",
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+                  < CASE lang WHEN 'en' THEN 576460752303423488
+                              WHEN 'de' THEN 288230376151711744
+                              ELSE 115292150460684697 END
+        """,
         "dedup_spans": """
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -1,0 +1,68 @@
+"""Deterministic corpus sampling for training-data mixes.
+
+Spark's own `df.sample` draws from a per-partition RNG stream, so
+membership depends on partition count and row order — re-runs, retries,
+and different cluster sizes pick DIFFERENT rows, which breaks resumable
+pipelines and exact oracle checks. Here membership is a pure function
+of the row id: keep iff h60(salt:id) < p/q · 2⁶⁰, with the 60-bit md5
+hash the dedup operators already use (textops/dedup.py _h60 — identical
+in Spark and DuckDB SQL, so samples are exactly reproducible anywhere).
+The threshold is computed exactly in Python integers (no float rate),
+so the sample is bit-stable at any parallelism — the same property the
+pipeline's value-sorted dictionary IDs guarantee (north-rule exactness
+across cluster sizes).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from clp_spark.textops.dedup import _h60
+
+__all__ = ["deterministic_sample", "stratified_sample", "sample_threshold"]
+
+_H60_MAX = 1 << 60
+
+
+def sample_threshold(rate: tuple[int, int]) -> int:
+    """Exact integer keep-threshold for rate p/q: keep iff h < ⌊p·2⁶⁰/q⌋.
+    (h is uniform on [0, 2⁶⁰), so the kept fraction is p/q up to 2⁻⁶⁰.)"""
+    p, q = rate
+    if not (0 <= p <= q and q > 0):
+        raise ValueError(f"rate must be 0 <= p/q <= 1, got {p}/{q}")
+    return (p * _H60_MAX) // q
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: tuple[int, int],
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Keep a deterministic Bernoulli(p/q) sample keyed on the row id.
+    Pure narrow filter — no shuffle, pushed to the scan."""
+    h = _h60(f"cast({id_col} as string)", salt)
+    return df.filter(F.expr(h) < F.lit(sample_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    quotas: dict[str, tuple[int, int]],
+    strata_col: str = "lang",
+    default: tuple[int, int] = (0, 1),
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic rates — the language-balancing step of
+    a training-data mix (e.g. keep 1/2 of en, 1/4 of de, drop the rest).
+    One narrow filter: CASE over the stratum picks the threshold, the
+    id hash decides membership. No shuffle, no RNG state."""
+    h = _h60(f"cast({id_col} as string)", salt)
+    cases = " ".join(
+        f"WHEN '{k}' THEN {sample_threshold(v)}L" for k, v in sorted(quotas.items())
+    )
+    thr = (
+        f"CASE {strata_col} {cases} ELSE {sample_threshold(default)}L END"
+    )
+    return df.filter(F.expr(f"({h}) < ({thr})"))

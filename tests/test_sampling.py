@@ -1,0 +1,44 @@
+"""Deterministic sampling: exact membership function of the row id —
+stable across parallelism, re-runs, and engines (md5-h60 both sides)."""
+
+from __future__ import annotations
+
+from clp_spark.textops.sampling import (
+    deterministic_sample,
+    sample_threshold,
+    stratified_sample,
+)
+
+
+def test_threshold_exact():
+    assert sample_threshold((1, 2)) == (1 << 60) // 2
+    assert sample_threshold((0, 1)) == 0
+    assert sample_threshold((1, 1)) == 1 << 60
+
+
+def test_sample_rate_and_determinism(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    kept = deterministic_sample(df, (1, 4), id_col="doc_id")
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    # same rows at a different partitioning
+    ids2 = {
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(13), (1, 4)).collect()
+    }
+    assert ids1 == ids2
+    assert abs(len(ids1) / 4000 - 0.25) < 0.03
+    # disjoint salts give (near-)independent samples
+    ids3 = {r["doc_id"] for r in deterministic_sample(df, (1, 4), salt=1).collect()}
+    assert ids3 != ids1
+
+
+def test_stratified_quotas(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(6000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_sample(
+        df, {"en": (1, 2), "de": (1, 4)}, strata_col="lang", default=(0, 1)
+    ).groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    assert "fr" not in by  # default rate 0 drops the stratum
+    assert abs(by["en"] / 2000 - 0.5) < 0.06
+    assert abs(by["de"] / 2000 - 0.25) < 0.06

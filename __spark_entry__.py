@@ -914,6 +914,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default=(1, 10),
         ).select("doc_id", "lang")
 
+    def sample_cap_per_source(spark, sf):
+        # per-domain cap: keep the k smallest doc_ids per source — bounds
+        # any one site's share of the training mix, deterministic at any
+        # parallelism (one window shuffle)
+        from clp_spark.textops.sampling import cap_per_stratum
+
+        docs = _read(spark, sf, "documents")
+        return cap_per_stratum(docs, 10, strata_col="source").select(
+            "doc_id", "source"
+        )
+
+    q["sample_cap_per_source"] = sample_cap_per_source
     q["sample_stratified"] = sample_stratified
     q["dedup_spans"] = dedup_spans
     q["dedup_cluster_reps"] = dedup_cluster_reps
@@ -1385,6 +1397,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _SHINGLES_CTE
         + "SELECT doc_a, doc_b FROM jpairs WHERE 5 * inter >= 4 * un",
+        "sample_cap_per_source": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn <= 10
+        """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents
             WHERE CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)

@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame
 
 from clp_spark.textops.dedup import _h60
 
-__all__ = ["deterministic_sample", "stratified_sample", "sample_threshold"]
+__all__ = [
+    "cap_per_stratum",
+    "deterministic_sample",
+    "sample_threshold",
+    "stratified_sample",
+]
 
 _H60_MAX = 1 << 60
 
@@ -66,3 +71,25 @@ def stratified_sample(
         f"CASE {strata_col} {cases} ELSE {sample_threshold(default)}L END"
     )
     return df.filter(F.expr(f"({h}) < ({thr})"))
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most k rows per stratum — the per-domain cap of web-corpus
+    curation (bounds any single site's share of the training mix).
+    Deterministic: survivors are the k smallest ids per stratum, so the
+    result is identical at any parallelism. One window over the stratum
+    key (a single shuffle); skewed domains are bounded by k on output,
+    and AQE skew-join handling covers the input side at scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

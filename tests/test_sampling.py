@@ -42,3 +42,18 @@ def test_stratified_quotas(spark):
     assert "fr" not in by  # default rate 0 drops the stratum
     assert abs(by["en"] / 2000 - 0.5) < 0.06
     assert abs(by["de"] / 2000 - 0.25) < 0.06
+
+
+def test_cap_per_stratum(spark):
+    from clp_spark.textops.sampling import cap_per_stratum
+
+    rows = [(i, f"s{i % 4}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = cap_per_stratum(df, 3, strata_col="source").collect()
+    by: dict[str, list[int]] = {}
+    for r in got:
+        by.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) == 3 for v in by.values())
+    # deterministic: the k SMALLEST ids per stratum
+    assert sorted(by["s0"]) == [0, 4, 8]
+    assert sorted(by["s3"]) == [3, 7, 11]

@@ -925,6 +925,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "source"
         )
 
+    def text_redact_pii(spark, sf):
+        # PII scrub (emails / IPv4s / long digit runs) — synthetic PII is
+        # appended as a deterministic function of doc_id on BOTH sides,
+        # then redaction must be byte-identical to the RE2 oracle
+        from clp_spark.textops.scrub import redact_pii
+
+        docs = _read(spark, sf, "documents")
+        wt = docs.select(
+            "doc_id",
+            F.concat(
+                "text",
+                F.lit(" contact u"), "doc_id",
+                F.lit("@m"), F.col("doc_id") % 7,
+                F.lit(".example via 10."), F.col("doc_id") % 200,
+                F.lit(".0."), F.col("doc_id") % 50,
+                F.lit(" acct "), F.col("doc_id") * 1000003 + 123456789,
+            ).alias("text"),
+        )
+        return redact_pii(wt).select("doc_id", "text")
+
+    q["text_redact_pii"] = text_redact_pii
     q["sample_cap_per_source"] = sample_cap_per_source
     q["sample_stratified"] = sample_stratified
     q["dedup_spans"] = dedup_spans
@@ -1397,6 +1418,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _SHINGLES_CTE
         + "SELECT doc_a, doc_b FROM jpairs WHERE 5 * inter >= 4 * un",
+        "text_redact_pii": """
+            SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+              text || ' contact u' || CAST(doc_id AS VARCHAR)
+                   || '@m' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example via 10.' || CAST(doc_id % 200 AS VARCHAR)
+                   || '.0.' || CAST(doc_id % 50 AS VARCHAR)
+                   || ' acct ' || CAST(doc_id * 1000003 + 123456789 AS VARCHAR),
+              '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+              '\\b\\d{9,}\\b', '<NUM>', 'g') AS text
+            FROM documents
+        """,
         "sample_cap_per_source": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,

@@ -112,3 +112,47 @@ class TestArchivePlans:
         plan = _plan(hits)
         assert "PushedFilters" in plan and "rid" in plan
         assert hits.count() == 100
+
+
+class TestCurationPlans:
+    """Sampling / scrub / span-dedup stay the cheap plans they claim."""
+
+    def test_deterministic_sample_is_scan_pushed_filter(self, docs):
+        from clp_spark.textops.sampling import deterministic_sample
+
+        plan = _plan(deterministic_sample(docs, (1, 3)))
+        # pure narrow filter: no shuffle anywhere in the plan
+        assert "Exchange" not in plan
+
+    def test_stratified_sample_no_shuffle(self, spark):
+        from clp_spark.textops.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, ["en", "de"][i % 2]) for i in range(100)],
+            "doc_id long, lang string",
+        )
+        plan = _plan(stratified_sample(df, {"en": (1, 2)}, default=(0, 1)))
+        assert "Exchange" not in plan
+
+    def test_cap_per_stratum_single_shuffle(self, spark):
+        from clp_spark.textops.sampling import cap_per_stratum
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 5}") for i in range(100)], "doc_id long, source string"
+        )
+        plan = _plan(cap_per_stratum(df, 3, strata_col="source"))
+        assert plan.count("Exchange") == 1  # the window partitioning only
+
+    def test_redact_pii_no_shuffle_no_python(self, docs):
+        from clp_spark.textops.scrub import redact_pii
+
+        plan = _plan(redact_pii(docs))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_span_dedup_no_cartesian(self, docs):
+        from clp_spark.textops.dedup import strip_duplicated_spans
+
+        plan = _plan(strip_duplicated_spans(docs, span_words=4))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

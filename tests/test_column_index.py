@@ -128,3 +128,65 @@ def test_read_builds_index_on_demand(spark, archives, tmp_path):
     arch.save(d)
     idx = read_column_index(d)  # no write_column_index call
     assert ("k", 0) in idx
+
+
+def test_pruning_soundness_fuzz(spark, tmp_path):
+    """The one bug class that must never ship: pruning an archive that
+    contains a match. Generate random small archives and random queries;
+    whenever archive_may_match says False, the full KQL evaluation must
+    return zero rows."""
+    import random
+
+    rng = random.Random(1234)
+    fields = ["a", "b", "o.x", "o.y", "arr"]
+
+    def rand_doc():
+        d = {}
+        if rng.random() < 0.7:
+            d["a"] = rng.choice([1, 2, "one two", None])
+        if rng.random() < 0.5:
+            d["b"] = rng.choice([3.5, "z", True])
+        if rng.random() < 0.5:
+            d["o"] = {k: rng.randrange(5) for k in ("x", "y") if rng.random() < 0.7}
+        if rng.random() < 0.4:
+            d["arr"] = [{"k": rng.randrange(3)}, rng.randrange(9)]
+        return d or {"a": 0}
+
+    from clp_spark.clps.encoder import JsonArchive
+
+    dirs = []
+    for i in range(3):
+        docs = [rand_doc() for _ in range(30)]
+        df = spark.createDataFrame(
+            [(j, json.dumps(d)) for j, d in enumerate(docs)], "id long, j string"
+        )
+        d = str(tmp_path / f"fz{i}")
+        encode_json_df(df, "j", passthrough=["id"]).save(d)
+        write_column_index(d)
+        dirs.append(d)
+    archives = [(d, JsonArchive.load(spark, d)) for d in dirs]
+    indexes = [(d, read_column_index(d)) for d in dirs]
+
+    def rand_query():
+        f = rng.choice(fields + ["arr.k", "missing", "o.z", "a*"])
+        kind = rng.randrange(4)
+        if kind == 0:
+            v = rng.choice(["1", "2", '"z"', "true", "*"])
+            return f"{f}: {v}"
+        if kind == 1:
+            return f"{f} > {rng.randrange(4)}"
+        if kind == 2:
+            g = rng.choice(fields)
+            op = rng.choice(["AND", "OR"])
+            return f"{f}: 1 {op} {g}: 2"
+        return f"NOT {f}: 1"
+
+    checked_pruned = 0
+    for _ in range(60):
+        q = rand_query()
+        req = required_paths(q)
+        for (d, idx), (_d2, arch) in zip(indexes, archives):
+            if not archive_may_match(idx, req):
+                checked_pruned += 1
+                assert kql_query(arch, q).count() == 0, (q, d)
+    assert checked_pruned > 10  # the fuzz actually exercised pruning

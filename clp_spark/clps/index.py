@@ -281,18 +281,32 @@ def search_archives_kql(
     matches with an `archive` provenance column. Returns
     (DataFrame | None, searched_dirs) — None when every archive was
     pruned."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyspark.sql.functions as F
 
     from clp_spark.clps.kql import kql_query
 
     req = required_paths(query)
+    searched = [
+        d for d in archive_dirs if archive_may_match(read_column_index(d), req)
+    ]
+    if not searched:
+        return None, []
+    # archive loads collect dictionaries on the driver — overlap them
+    # across archives (same ThreadPool pattern as pipeline.py's
+    # bookkeeping; Spark driver actions are thread-safe)
+    with ThreadPoolExecutor(max_workers=min(8, len(searched))) as pool:
+        archs = list(
+            pool.map(
+                lambda d: JsonArchive.load(
+                    spark, d, driver_dict_cap=driver_dict_cap
+                ),
+                searched,
+            )
+        )
     out = None
-    searched = []
-    for d in archive_dirs:
-        if not archive_may_match(read_column_index(d), req):
-            continue
-        searched.append(d)
-        arch = JsonArchive.load(spark, d, driver_dict_cap=driver_dict_cap)
+    for d, arch in zip(searched, archs):
         part = kql_query(arch, query, ignore_case).withColumn(
             "archive", F.lit(os.path.basename(os.path.normpath(d)))
         )

@@ -67,6 +67,33 @@ def _rewrite_filtered(man_dir: str, keep_mask_fn) -> None:
     )
 
 
+def _rewrite_filtered_spark(spark, man_dir: str, dead: set) -> None:
+    """Distributed manifest rewrite: anti-join against the (tiny) dead
+    (sink_id, seg_id) set, preserve the var_id range-partitioned sort
+    and its parquet bloom (the pruning layout sink_manifests documents,
+    pipeline.py _w_var)."""
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(man_dir)
+    dead_df = spark.createDataFrame(
+        sorted(dead), "sink_id long, seg_id long"
+    )
+    kept = df.join(
+        F.broadcast(dead_df), ["sink_id", "seg_id"], "left_anti"
+    )
+    sort_col = "var_id" if "var_id" in df.columns else df.columns[-1]
+    tmp = man_dir + ".gc_tmp"
+    (
+        kept.repartitionByRange(sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .option(f"parquet.bloom.filter.enabled#{sort_col}", "true")
+        .parquet(tmp)
+    )
+    shutil.rmtree(man_dir)
+    os.rename(tmp, man_dir)
+
+
 def expire_segments(
     out_dir: str,
     cutoff,
@@ -148,6 +175,24 @@ def expire_segments(
         return result
 
     sinks_dir = os.path.join(out_dir, "sinks")
+    # expiring EVERYTHING would leave no parquet for readers to infer a
+    # schema from — capture one doomed file's (partition-column-free)
+    # schema first and re-seed a zero-row file after the deletes, so a
+    # fully-GC'd archive still searches (to zero rows) without errors
+    total_wipe = len(pairs) == len(seg) and not dry_run
+    empty_schema = None
+    if total_wipe and pairs:
+        import pyarrow.parquet as pq
+
+        sid0, gid0 = pairs[0]
+        d0 = os.path.join(sinks_dir, f"sink_id={sid0}", f"seg_id={gid0}")
+        for root, _dirs, files in os.walk(d0):
+            for f in files:
+                if f.endswith(".parquet"):
+                    empty_schema = pq.read_schema(os.path.join(root, f))
+                    break
+            if empty_schema is not None:
+                break
     freed = 0
     for sid, gid in pairs:
         d = os.path.join(sinks_dir, f"sink_id={sid}", f"seg_id={gid}")
@@ -158,6 +203,23 @@ def expire_segments(
     result["bytes_freed"] = freed
     if dry_run:
         return result
+    if empty_schema is not None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sid0, gid0 = pairs[0]
+        d0 = os.path.join(sinks_dir, f"sink_id={sid0}", f"seg_id={gid0}")
+        os.makedirs(d0, exist_ok=True)
+        pq.write_table(
+            empty_schema.empty_table()
+            if hasattr(empty_schema, "empty_table")
+            else pa.Table.from_arrays(
+                [pa.array([], t.type) for t in empty_schema],
+                schema=empty_schema,
+            ),
+            os.path.join(d0, "part-empty.parquet"),
+            compression="zstd",
+        )
 
     dead = set(pairs)
 
@@ -168,7 +230,16 @@ def expire_segments(
 
     for name in _SEG_MANIFESTS:
         man = os.path.join(out_dir, "manifest", name)
-        if os.path.isdir(man):
+        if not os.path.isdir(man):
+            continue
+        # segments + logtype manifests are CLP-small by design (driver-
+        # written at compress time); the VAR manifest is the one that can
+        # outgrow the driver at 100 TB (same reason search has the
+        # semi-join fallback, search/sinks.py:35) — rewrite it with a
+        # distributed filter when a session is available
+        if name == "var" and spark is not None:
+            _rewrite_filtered_spark(spark, man, dead)
+        else:
             _rewrite_filtered(man, _keep)
 
     if spark is not None:
@@ -187,6 +258,27 @@ def _refresh_metrics(spark, out_dir: str) -> None:
     sinks_dir = os.path.join(out_dir, "sinks")
     metrics_dir = os.path.join(out_dir, "metrics")
     if not os.path.isdir(metrics_dir):
+        return
+    # everything expired: no parquet left under sinks — write zero-row
+    # metrics preserving the existing schema instead of failing inference
+    any_parquet = any(
+        f.endswith(".parquet")
+        for _r, _d, fs in os.walk(sinks_dir)
+        for f in fs
+    )
+    if not any_parquet:
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        old = ds.dataset(metrics_dir, format="parquet").to_table()
+        for entry in os.scandir(metrics_dir):
+            if entry.is_file():
+                os.unlink(entry.path)
+        pq.write_table(
+            old.slice(0, 0),
+            os.path.join(metrics_dir, "part-00000.parquet"),
+            compression="zstd",
+        )
         return
     enc = spark.read.parquet(sinks_dir)
     m = sink_metrics(enc).join(

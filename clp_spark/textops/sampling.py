@@ -78,18 +78,36 @@ def cap_per_stratum(
     k: int,
     strata_col: str = "source",
     id_col: str = "doc_id",
+    presalt_buckets: int = 32,
 ) -> DataFrame:
     """Keep at most k rows per stratum — the per-domain cap of web-corpus
     curation (bounds any single site's share of the training mix).
     Deterministic: survivors are the k smallest ids per stratum, so the
-    result is identical at any parallelism. One window over the stratum
-    key (a single shuffle); skewed domains are bounded by k on output,
-    and AQE skew-join handling covers the input side at scale."""
+    result is identical at any parallelism.
+
+    A single window over the stratum key puts a hot domain's entire row
+    set on ONE task — the same balls-in-bins straggler the route phase
+    hit at high parallelism (BENCH.md). So the cap runs in two phases:
+    a pre-cap windowed over (stratum, hash(id) % B) spreads any hot
+    stratum across B tasks and emits ≤ k rows per bucket, then the
+    exact window runs over ≤ k·B rows per stratum. Correct because the
+    global k smallest ids are each among the k smallest of their own
+    bucket. presalt_buckets=1 degenerates to the single-window plan."""
     from pyspark.sql import Window
 
+    cur = df
+    if presalt_buckets > 1:
+        pre = Window.partitionBy(
+            strata_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(presalt_buckets))
+        ).orderBy(F.col(id_col).asc())
+        cur = (
+            cur.withColumn("_prn", F.row_number().over(pre))
+            .filter(F.col("_prn") <= k)
+            .drop("_prn")
+        )
     w = Window.partitionBy(strata_col).orderBy(F.col(id_col).asc())
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        cur.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )

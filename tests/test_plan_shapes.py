@@ -140,8 +140,14 @@ class TestCurationPlans:
         df = spark.createDataFrame(
             [(i, f"s{i % 5}") for i in range(100)], "doc_id long, source string"
         )
+        # default two-phase: bucket pre-cap + exact cap = two window
+        # exchanges, never a single-task hot-stratum sort
         plan = _plan(cap_per_stratum(df, 3, strata_col="source"))
-        assert plan.count("Exchange") == 1  # the window partitioning only
+        assert plan.count("Exchange") == 2
+        plan1 = _plan(
+            cap_per_stratum(df, 3, strata_col="source", presalt_buckets=1)
+        )
+        assert plan1.count("Exchange") == 1
 
     def test_redact_pii_no_shuffle_no_python(self, docs):
         from clp_spark.textops.scrub import redact_pii

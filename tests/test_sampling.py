@@ -57,3 +57,22 @@ def test_cap_per_stratum(spark):
     # deterministic: the k SMALLEST ids per stratum
     assert sorted(by["s0"]) == [0, 4, 8]
     assert sorted(by["s3"]) == [3, 7, 11]
+
+
+def test_cap_two_phase_matches_single_window(spark):
+    """The skew-spreading pre-cap must not change results."""
+    from clp_spark.textops.sampling import cap_per_stratum
+
+    rows = [(i, f"s{i % 3}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_stratum(df, 7, strata_col="source").collect()
+    }
+    b = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_stratum(
+            df, 7, strata_col="source", presalt_buckets=1
+        ).collect()
+    }
+    assert a == b and len(a) == 21

@@ -945,6 +945,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return redact_pii(wt).select("doc_id", "text")
 
+    def corpus_curation(spark, sf):
+        # the composed training-data pipeline: near-dup collapse ->
+        # language-quota sampling -> per-domain cap, every stage the
+        # already-oracle-checked operator, the composition hash-checked
+        # end-to-end against one composed SQL oracle
+        from clp_spark.textops.curate import curate_corpus
+
+        docs = _read(spark, sf, "documents")
+        return curate_corpus(
+            docs,
+            quotas={"en": (1, 2), "de": (1, 4)},
+            default_rate=(1, 10),
+            cap_k=5,
+            jaccard=(4, 5),
+        ).select("doc_id", "lang", "source")
+
+    q["corpus_curation"] = corpus_curation
     q["text_redact_pii"] = text_redact_pii
     q["sample_cap_per_source"] = sample_cap_per_source
     q["sample_stratified"] = sample_stratified
@@ -1418,6 +1435,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _SHINGLES_CTE
         + "SELECT doc_a, doc_b FROM jpairs WHERE 5 * inter >= 4 * un",
+        "corpus_curation": """
+WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (SELECT DISTINCT doc_id AS id, w[i]||' '||w[i+1]||' '||w[i+2] AS g
+       FROM t, UNNEST(range(1, greatest(len(w)-1, 1))) AS u(i)
+       WHERE len(w) >= 3),
+sz AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+inter AS (SELECT a.id da, b.id db, count(*) inter
+          FROM sh a JOIN sh b USING (g) WHERE a.id < b.id GROUP BY 1, 2),
+jpairs AS (SELECT da AS doc_a, db AS doc_b, inter,
+                  sa.sz + sb.sz - inter AS un
+           FROM inter JOIN sz sa ON sa.id = da JOIN sz sb ON sb.id = db),
+p AS (SELECT doc_a, doc_b FROM jpairs WHERE 5 * inter >= 4 * un),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(a, b) AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+reps AS (SELECT d.doc_id,
+                least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep
+         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         GROUP BY d.doc_id),
+sampled AS (
+  SELECT d.doc_id, d.lang, d.source
+  FROM documents d JOIN reps USING (doc_id)
+  WHERE reps.rep = d.doc_id
+    AND CAST(('0x' || substr(md5('0:' || CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        < CASE d.lang WHEN 'en' THEN 576460752303423488 WHEN 'de' THEN 288230376151711744 ELSE 115292150460684697 END
+)
+SELECT doc_id, lang, source FROM (
+  SELECT sampled.*, row_number() OVER (PARTITION BY source ORDER BY doc_id) rn
+  FROM sampled
+) WHERE rn <= 5
+        """,
         "text_redact_pii": """
             SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
               text || ' contact u' || CAST(doc_id AS VARCHAR)

@@ -28,6 +28,7 @@ from clp_spark.textops.sampling import (
     deterministic_sample,
     stratified_sample,
 )
+from clp_spark.textops.curate import curate_corpus
 from clp_spark.textops.scrub import redact_pii
 from clp_spark.textops.similarity import brute_force_topk, lsh_bucketed_topk, quantized_dot
 from clp_spark.textops.stats import (
@@ -41,6 +42,7 @@ __all__ = [
     "brute_force_topk",
     "cap_per_stratum",
     "connected_components",
+    "curate_corpus",
     "deterministic_sample",
     "redact_pii",
     "strip_duplicated_paragraphs",

@@ -961,7 +961,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             jaccard=(4, 5),
         ).select("doc_id", "lang", "source")
 
+    def corpus_curation_minhash(spark, sf):
+        # same composed pipeline with the 100 TB-scale dedup stage:
+        # MinHash-LSH candidates + exact-Jaccard verify instead of the
+        # capped shingle self-join (curate.py method="minhash")
+        from clp_spark.textops.curate import curate_corpus
+
+        docs = _read(spark, sf, "documents")
+        return curate_corpus(
+            docs,
+            quotas={"en": (1, 2), "de": (1, 4)},
+            default_rate=(1, 10),
+            cap_k=5,
+            jaccard=(4, 5),
+            method="minhash",
+        ).select("doc_id", "lang", "source")
+
     q["corpus_curation"] = corpus_curation
+    q["corpus_curation_minhash"] = corpus_curation_minhash
     q["text_redact_pii"] = text_redact_pii
     q["sample_cap_per_source"] = sample_cap_per_source
     q["sample_stratified"] = sample_stratified
@@ -1142,6 +1159,51 @@ SELECT c.doc_a, c.doc_b FROM cand c
 JOIN jpairs j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
 WHERE 5 * j.inter >= 4 * j.un
 """
+
+
+# curation tail shared by both corpus_curation oracles: pairs CTE `p`
+# → undirected closure → min-id reps → stratified sample → per-source
+# cap (mirrors curate.py's stage chain exactly)
+_CURATION_TAIL = """,
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(a, b) AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+reps AS (SELECT d.doc_id,
+                least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep
+         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         GROUP BY d.doc_id),
+sampled AS (
+  SELECT d.doc_id, d.lang, d.source
+  FROM documents d JOIN reps USING (doc_id)
+  WHERE reps.rep = d.doc_id
+    AND CAST(('0x' || substr(md5('0:' || CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        < CASE d.lang WHEN 'en' THEN 576460752303423488 WHEN 'de' THEN 288230376151711744 ELSE 115292150460684697 END
+)
+SELECT doc_id, lang, source FROM (
+  SELECT sampled.*, row_number() OVER (PARTITION BY source ORDER BY doc_id) rn
+  FROM sampled
+) WHERE rn <= 5
+"""
+
+
+def _minhash_curation_sql() -> str:
+    """corpus_curation with the MinHash-LSH dedup stage: the minhash
+    pair query re-shaped into a `p` CTE, then the shared curation tail."""
+    body = _minhash_sql()
+    head, final = body.rsplit("SELECT c.doc_a, c.doc_b FROM cand c", 1)
+    verify = final.strip()
+    p_cte = (
+        ",\np AS (SELECT c.doc_a, c.doc_b FROM cand c\n" + verify + ")"
+    )
+    return (
+        head.rstrip().rstrip(",").replace("WITH ", "WITH RECURSIVE ", 1)
+        + p_cte
+        + _CURATION_TAIL
+    )
 
 
 def _simhash_sql() -> str:
@@ -1545,6 +1607,7 @@ GROUP BY d.doc_id
             SELECT id, term, tf, df FROM r WHERE rk = 1
         """,
         "dedup_minhash_lsh": _minhash_sql(),
+        "corpus_curation_minhash": _minhash_curation_sql(),
         "text_simhash": _simhash_sql(),
         "dedup_embedding": f"""
             WITH qv AS (SELECT vec_id, {_QUANT.format(v='embedding')} qv

@@ -146,6 +146,16 @@ def main() -> None:
     clps_dist_sec = round(time.time() - t0, 3)
     spark.catalog.clearCache()
 
+    # ---- minhash-backed composed curation (REPORTED SEPARATELY —
+    # headline accounting unchanged): the 100 TB-scale path of the
+    # corpus_curation pipeline (LSH candidates instead of the capped
+    # shingle self-join) gets a measured cost at bench scale ----
+    t0 = time.time()
+    queries["corpus_curation_minhash"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    curation_minhash_sec = round(time.time() - t0, 3)
+
     total = round(sum(times.values()) + pipeline_wall, 3)
     result = {
         "metric": "clp_spark headline queries + compress pipeline",
@@ -165,6 +175,7 @@ def main() -> None:
         },
         "archive_build_sec": archive_build_sec,
         "clps_distributed": {"rows": dist_rows, "build_sec": clps_dist_sec},
+        "curation_minhash_sec": curation_minhash_sec,
         "cpus": cpus,
     }
     print(json.dumps(result))

@@ -350,6 +350,14 @@ class JsonArchive:
             os.path.join(out_dir, "log_dict")
         )
         self.var_dict.write.mode("overwrite").parquet(os.path.join(out_dir, "var_dict"))
+        # the column index is DERIVED from the schema tree just written:
+        # rebuild it now so re-saving into an existing directory can
+        # never leave a stale index that would let search_archives_kql
+        # prune an archive which now hosts the queried field (the
+        # unsound-pruning class test_column_index's fuzz forbids)
+        from clp_spark.clps.index import write_column_index
+
+        write_column_index(out_dir)
         if self.range_index is not None:
             with open(os.path.join(out_dir, "range_index.json"), "w") as f:
                 json.dump(

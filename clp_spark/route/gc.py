@@ -56,15 +56,18 @@ def _rewrite_filtered(man_dir: str, keep_mask_fn) -> None:
     tbl = dataset.to_table()
     keep = keep_mask_fn(tbl)
     filtered = tbl.filter(keep)
-    for entry in os.scandir(man_dir):
-        if entry.is_file():
-            os.unlink(entry.path)
-        elif entry.is_dir():
-            shutil.rmtree(entry.path)
+    # crash-safe swap: the replacement is fully written under a temp
+    # name first, then exchanged with two directory renames — at no
+    # point is the archive left without a manifest
+    tmp = man_dir + ".gc_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
     pq.write_table(
-        filtered, os.path.join(man_dir, "part-00000.parquet"),
+        filtered, os.path.join(tmp, "part-00000.parquet"),
         compression="zstd",
     )
+    _swap_dirs(man_dir, tmp)
 
 
 def _rewrite_filtered_spark(spark, man_dir: str, dead: set) -> None:
@@ -90,8 +93,20 @@ def _rewrite_filtered_spark(spark, man_dir: str, dead: set) -> None:
         .option(f"parquet.bloom.filter.enabled#{sort_col}", "true")
         .parquet(tmp)
     )
-    shutil.rmtree(man_dir)
-    os.rename(tmp, man_dir)
+    _swap_dirs(man_dir, tmp)
+
+
+def _swap_dirs(live: str, replacement: str) -> None:
+    """Exchange a fully-written replacement directory into the live
+    path: old renames aside, new renames in, old deletes last — a crash
+    between any two steps leaves either the old or the new manifest in
+    place (never neither; the .gc_old leftover is swept on retry)."""
+    old = live + ".gc_old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(live, old)
+    os.rename(replacement, live)
+    shutil.rmtree(old)
 
 
 def expire_segments(
@@ -136,29 +151,48 @@ def expire_segments(
 
     import pandas as pd
 
-    eff = cutoff
-    if query_floor is not None:
-        eff = min(cutoff, query_floor)
     ts_max = seg["ts_max"]
     is_dt_map = pd.api.types.is_datetime64_any_dtype(ts_max)
-    is_dt_cut = isinstance(eff, pd.Timestamp) or hasattr(eff, "tzinfo")
-    if is_dt_map != is_dt_cut:
-        src = seg["ts_src"].iloc[0] if "ts_src" in seg.columns and len(seg) else "?"
-        raise ValueError(
-            f"cutoff unit mismatch: zone map was built from {src!r} "
-            f"({'datetime' if is_dt_map else 'epoch-int'}), cutoff is "
-            f"{'datetime' if is_dt_cut else 'epoch-int'}"
-        )
+    # validate BOTH bounds against the zone-map unit (and hence each
+    # other) BEFORE min() — a mixed-unit query_floor must raise the
+    # unit-mismatch ValueError, not a raw datetime-vs-int TypeError
+    for label, bound in (("cutoff", cutoff), ("query_floor", query_floor)):
+        if bound is None:
+            continue
+        is_dt = isinstance(bound, pd.Timestamp) or hasattr(bound, "tzinfo")
+        if is_dt_map != is_dt:
+            src = (
+                seg["ts_src"].iloc[0]
+                if "ts_src" in seg.columns and len(seg)
+                else "?"
+            )
+            raise ValueError(
+                f"{label} unit mismatch: zone map was built from {src!r} "
+                f"({'datetime' if is_dt_map else 'epoch-int'}), {label} is "
+                f"{'datetime' if is_dt else 'epoch-int'}"
+            )
     if is_dt_map:
         # Spark writes parquet timestamps as UTC instants; pyarrow reads
         # them back tz-aware while Spark's own toPandas yields naive UTC.
-        # Accept either flavor of cutoff and align it to the map's dtype.
-        eff = pd.Timestamp(eff)
+        # Accept either flavor of bound and align it to the map's dtype
+        # (each bound independently, so min() never compares naive with
+        # aware).
         tz = getattr(ts_max.dtype, "tz", None)
-        if tz is not None and eff.tzinfo is None:
-            eff = eff.tz_localize("UTC")
-        elif tz is None and eff.tzinfo is not None:
-            eff = eff.tz_convert("UTC").tz_localize(None)
+
+        def _align(b):
+            b = pd.Timestamp(b)
+            if tz is not None and b.tzinfo is None:
+                return b.tz_localize("UTC")
+            if tz is None and b.tzinfo is not None:
+                return b.tz_convert("UTC").tz_localize(None)
+            return b
+
+        cutoff = _align(cutoff)
+        if query_floor is not None:
+            query_floor = _align(query_floor)
+    eff = cutoff
+    if query_floor is not None:
+        eff = min(cutoff, query_floor)
 
     expired_mask = ts_max.notna() & (ts_max < eff)
     expired = seg.loc[expired_mask, ["sink_id", "seg_id", "rows"]]
@@ -281,6 +315,12 @@ def _refresh_metrics(spark, out_dir: str) -> None:
         )
         return
     enc = spark.read.parquet(sinks_dir)
+    # partition-column inference types sink_id/seg_id int32; compress()
+    # reads with the explicit encoded schema (bigint) — cast back so the
+    # refreshed metrics parquet keeps the original column types
+    for pcol in ("sink_id", "seg_id"):
+        if pcol in enc.columns:
+            enc = enc.withColumn(pcol, F.col(pcol).cast("long"))
     m = sink_metrics(enc).join(
         sink_var_cardinality(enc), "sink_id", "left"
     ).withColumn(

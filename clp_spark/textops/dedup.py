@@ -123,6 +123,12 @@ def _pair_jaccard(sets: DataFrame, max_shingle_df: int | None) -> DataFrame:
     the intersection and the sizes (sz is recomputed post-filter), so
     inter/union stay consistent — this bounds the join fan-out on
     web-scale corpora where stop-shingles would otherwise dominate.
+
+    The cap is enforced by ANTI-joining the over-cap complement: rare
+    shingles dominate any real corpus, so the keep side is nearly the
+    whole distinct-shingle set (unbroadcastable at scale), while the
+    shingles with df > cap are few by construction — that tiny DROP set
+    is the broadcastable side.
     """
     # explode_outer: see word_shingles — plain explode infers a pushed-
     # down filter that re-evaluates the shingle HOF twice per row.
@@ -131,9 +137,9 @@ def _pair_jaccard(sets: DataFrame, max_shingle_df: int | None) -> DataFrame:
     ).filter(F.col("shingle").isNotNull())
     if max_shingle_df is not None:
         freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
-        keep = freq.filter(F.col("df") <= max_shingle_df).select("shingle")
+        drop = freq.filter(F.col("df") > max_shingle_df).select("shingle")
         ex = (
-            ex.join(F.broadcast(keep), "shingle", "left_semi")
+            ex.join(F.broadcast(drop), "shingle", "left_anti")
             .withColumn("sz", F.count("*").over(_id_window()))
         )
     a = ex.alias("a")
@@ -651,13 +657,16 @@ def _strip_dup_units(
         .filter((F.col("_n") == 1) | (F.col(id_col) == F.col("_keeper")))
         .select(id_col, "_ord", "_para")
     )
+    # joiner rides as a Column-op literal (F.array_join's delimiter is a
+    # plain Python string), so separators containing quotes or backslashes
+    # survive verbatim instead of breaking an interpolated expr string
     return (
         kept.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("_ord", "_para"))).alias("_a"))
         .select(
             id_col,
-            F.expr(
-                f"array_join(transform(_a, x -> x._para), '{joiner}')"
+            F.array_join(
+                F.transform("_a", lambda x: x["_para"]), joiner
             ).alias(text_col),
         )
     )
@@ -685,9 +694,16 @@ def strip_duplicated_paragraphs(
     (a paragraph duplicated across millions of docs still aggregates —
     the JOIN fans out only per occurrence, which is the output size).
     """
+    # sep is a LITERAL separator (F.split takes a Java regex, so escape
+    # it — "\n\n" is unaffected, but a "||" or "." separator would
+    # otherwise silently split on the regex interpretation)
+    import re as _re
+
     paras = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_ord", "_para"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("_ord", "_para"),
     )
     return _strip_dup_units(paras, id_col, text_col, sep)
 

@@ -62,15 +62,19 @@ def stratified_sample(
     """Per-stratum deterministic rates — the language-balancing step of
     a training-data mix (e.g. keep 1/2 of en, 1/4 of de, drop the rest).
     One narrow filter: CASE over the stratum picks the threshold, the
-    id hash decides membership. No shuffle, no RNG state."""
+    id hash decides membership. No shuffle, no RNG state. The per-
+    stratum branches are built as Column ops (F.when + F.lit), not SQL
+    text, so stratum keys containing quotes or other SQL metacharacters
+    are handled verbatim."""
     h = _h60(f"cast({id_col} as string)", salt)
-    cases = " ".join(
-        f"WHEN '{k}' THEN {sample_threshold(v)}L" for k, v in sorted(quotas.items())
-    )
-    thr = (
-        f"CASE {strata_col} {cases} ELSE {sample_threshold(default)}L END"
-    )
-    return df.filter(F.expr(f"({h}) < ({thr})"))
+    thr = None
+    for k, v in sorted(quotas.items()):
+        cond = F.col(strata_col) == F.lit(k)
+        t = F.lit(sample_threshold(v))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_t = F.lit(sample_threshold(default))
+    thr = default_t if thr is None else thr.otherwise(default_t)
+    return df.filter(F.expr(h) < thr)
 
 
 def cap_per_stratum(

@@ -282,9 +282,10 @@ def _has_wildcard(s: str) -> bool:
     return False
 
 
-# above this many '['-prefixed dictionary values, unstructured-array
-# filters stop contributing (matches the pre-feature behavior; the var
-# dict is CLP-small by design so this trips only on degenerate corpora)
+# above this many '['-prefixed dictionary values, the array dictionary
+# is not collected to the driver: evaluation distributes over the dict
+# frame instead (slow-but-exact, never silent misses — the var dict is
+# CLP-small by design so this trips only on degenerate corpora)
 _MAX_ARRAY_DICT_VALUES = 2_000_000
 
 
@@ -371,6 +372,73 @@ def _array_candidate_vals(archive: JsonArchive):
     return vals
 
 
+def _array_match_ids_distributed(
+    archive: JsonArchive, toks, op: str, value, ignore_case: bool
+) -> list:
+    """Exact fallback above _MAX_ARRAY_DICT_VALUES: evaluate the filter
+    inside every '['-prefixed dictionary value as an Arrow-batched
+    pandas pass over the var-dict FRAME, returning only the matching
+    var_ids (result-sized, not dict-sized). Same per-value semantics as
+    the driver path (_eval_array_value — QueryRunner.cpp:541-693); the
+    degrade direction is slow-but-exact, never silent misses."""
+    import pandas as pd
+
+    df = archive.var_dict.filter(F.col("value").startswith("["))
+    b = df.sparkSession.sparkContext.broadcast(
+        (list(toks), op, value, ignore_case)
+    )
+
+    def run(batches):
+        import json as _json
+
+        toks_, op_, value_, ic_ = b.value
+        for pdf in batches:
+            keep = []
+            for vid, text in zip(pdf["var_id"], pdf["value"]):
+                try:
+                    obj = _json.loads(text)
+                except ValueError:
+                    continue
+                if isinstance(obj, list) and any(
+                    _eval_array_value(el, toks_, 0, op_, value_, ic_)
+                    for el in obj
+                ):
+                    keep.append(int(vid))
+            yield pd.DataFrame({"var_id": pd.Series(keep, dtype="int64")})
+
+    return [
+        r["var_id"]
+        for r in df.mapInPandas(run, schema="var_id long").collect()
+    ]
+
+
+def _array_matching_ids(
+    archive: JsonArchive, toks, op: str, value, ignore_case: bool
+) -> list:
+    """var_ids whose stored array text satisfies the condition: the
+    driver-collected candidate list under the cap, a distributed
+    evaluation (memoized per archive + predicate) above it."""
+    vals = _array_candidate_vals(archive)
+    if vals is not None:
+        return [
+            vid
+            for vid, arr in vals
+            if any(
+                _eval_array_value(el, toks, 0, op, value, ignore_case)
+                for el in arr
+            )
+        ]
+    cache = getattr(archive, "_arr_match_cache", None)
+    if cache is None:
+        cache = archive._arr_match_cache = {}
+    key = (tuple(toks), op, repr(value), ignore_case)
+    if key not in cache:
+        cache[key] = _array_match_ids_distributed(
+            archive, toks, op, value, ignore_case
+        )
+    return cache[key]
+
+
 def _array_preds(
     archive: JsonArchive, path: str, op: str, value, ignore_case: bool
 ) -> tuple[list[Column], list[int]]:
@@ -384,25 +452,13 @@ def _array_preds(
     if path == "*" or _has_wildcard(path):
         return preds, all_nodes
     parts = path.split(".")
-    vals = None
     for cut in range(1, len(parts) + 1):
         prefix = ".".join(parts[:cut])
         anodes = _nodes_for_path(archive, prefix, {NODE_ARRAY})
         if not anodes:
             continue
-        if vals is None:
-            vals = _array_candidate_vals(archive)
-            if vals is None:
-                return [], []
         toks = parts[cut:]
-        ids = [
-            vid
-            for vid, arr in vals
-            if any(
-                _eval_array_value(el, toks, 0, op, value, ignore_case)
-                for el in arr
-            )
-        ]
+        ids = _array_matching_ids(archive, toks, op, value, ignore_case)
         if ids:
             body = ",".join(f"{int(i)}L" for i in ids)
             preds.append(_exists_pred(anodes, f"x.enc in ({body})"))

@@ -86,6 +86,74 @@ class _DictIndex:
         return self._cache[key]
 
 
+class _SparkDictIndex:
+    """Distributed candidate-ID discovery for dictionaries too large to
+    collect to the driver.
+
+    The reference streams its dictionaries rather than requiring one
+    process to hold them (DictionaryReader.hpp:241-290), and SURVEY
+    §2.3 prescribes the fallback shape: filter the dict FRAME
+    (`var_dict.filter(value rlike ...)`) and prune on the surviving
+    IDs. Each pattern here becomes exactly that — a column-pruned scan
+    over the dict parquet executed once and memoized; the bounded
+    matching-ID set (≤ _MAX_ISIN_IDS, else unconstrained — the same
+    degrade rule as the driver index) then feeds the same
+    IN/arrays_overlap predicates, so stages 2–3 keep pruning above
+    _MAX_DRIVER_DICT_ROWS instead of silently falling back to
+    decode-everything + confirm. Duck-type-compatible with _DictIndex.
+    """
+
+    def __init__(self, lt_df: DataFrame, var_df: DataFrame):
+        self.lt_df = lt_df
+        self.var_df = var_df
+        self._cache: dict = {}
+
+    def _ids(self, key, df, id_col: str, cond: Column):
+        if key not in self._cache:
+            rows = (
+                df.filter(cond).select(id_col).limit(_MAX_ISIN_IDS + 1).collect()
+            )
+            ids = {r[id_col] for r in rows}
+            self._cache[key] = None if len(ids) > _MAX_ISIN_IDS else ids
+        return self._cache[key]
+
+    def _rlike(self, col: str, pattern: str, ignore_case: bool) -> Column:
+        jrx = wildcard_to_java_regex(pattern, ignore_case)
+        return F.col(col).rlike("\\A(?:" + jrx + ")\\z")
+
+    def logtype_ids(self, pattern: str, ignore_case: bool):
+        return self._ids(
+            ("lt", pattern, ignore_case),
+            self.lt_df,
+            "logtype_id",
+            self._rlike("logtype", pattern, ignore_case),
+        )
+
+    def var_ids_exact(self, text: str, ignore_case: bool):
+        cond = (
+            F.lower(F.col("value")) == F.lit(text.lower())
+            if ignore_case
+            else F.col("value") == F.lit(text)
+        )
+        return self._ids(("vx", text, ignore_case), self.var_df, "var_id", cond)
+
+    def var_ids(self, pattern: str, ignore_case: bool):
+        return self._ids(
+            ("vw", pattern, ignore_case),
+            self.var_df,
+            "var_id",
+            self._rlike("value", pattern, ignore_case),
+        )
+
+    def lt_with_placeholder(self, ph: str):
+        """None when over the ID cap (the caller degrades that branch to
+        unconstrained) — a truncated set would let the segment pruner
+        drop units that match via an uncollected template."""
+        return self._ids(
+            ("ph", ph), self.lt_df, "logtype_id", F.col("logtype").contains(ph)
+        )
+
+
 # df_cache_key(dict frames) → (lt_df, v_df, _DictIndex | None); file-
 # backed dicts key on their input-file lists (stable across re-reads,
 # invalidated by rewrites); in-memory dicts key on id(), pinned by the
@@ -96,7 +164,12 @@ from clp_spark.util import LruCache, df_cache_key
 _INDEX_CACHE: LruCache = LruCache(maxsize=8)
 
 
-def _load_index(logtype_dict: DataFrame, var_dict: DataFrame) -> _DictIndex | None:
+def _load_index(logtype_dict: DataFrame, var_dict: DataFrame):
+    """Driver-side _DictIndex under _MAX_DRIVER_DICT_ROWS (one collect
+    per corpus per session, memoized matching); above it, a
+    _SparkDictIndex that answers the same candidate-set queries with
+    distributed dict-frame filters — dictionary pushdown never silently
+    turns off."""
     key = (df_cache_key(logtype_dict), df_cache_key(var_dict))
     hit = _INDEX_CACHE.get(key)
     if hit is not None:
@@ -106,7 +179,7 @@ def _load_index(logtype_dict: DataFrame, var_dict: DataFrame) -> _DictIndex | No
         (r["logtype_id"], r["logtype"])
         for r in logtype_dict.select("logtype_id", "logtype").limit(cap + 1).collect()
     ]
-    idx: _DictIndex | None = None
+    idx = None
     if len(lt_rows) <= cap:
         v_rows = [
             (r["var_id"], r["value"])
@@ -114,6 +187,8 @@ def _load_index(logtype_dict: DataFrame, var_dict: DataFrame) -> _DictIndex | No
         ]
         if len(v_rows) <= cap:
             idx = _DictIndex(lt_rows, v_rows)
+    if idx is None:
+        idx = _SparkDictIndex(logtype_dict, var_dict)
     _INDEX_CACHE.put(key, (logtype_dict, var_dict, idx))
     return idx
 
@@ -159,10 +234,13 @@ def _token_pred(tp: TokenPred, idx: _DictIndex, ignore_case: bool):
             if ids is None:
                 return None
             lt_ids |= ids
-        elif k == "enc_int":
-            lt_ids |= idx.lt_with_placeholder(PLACEHOLDER_INT)
-        elif k == "enc_float":
-            lt_ids |= idx.lt_with_placeholder(PLACEHOLDER_FLOAT)
+        elif k in ("enc_int", "enc_float"):
+            ids = idx.lt_with_placeholder(
+                PLACEHOLDER_INT if k == "enc_int" else PLACEHOLDER_FLOAT
+            )
+            if ids is None:  # _SparkDictIndex over the ID cap
+                return None
+            lt_ids |= ids
         elif k == "enc":
             conds.append(F.array_contains("encoded_vars", F.lit(int(br.value))))
         elif k == "dictvar":

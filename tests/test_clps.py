@@ -667,3 +667,22 @@ class TestUnstructuredArraySearch:
 
         assert _ids(kql_query(uarchive, "arr.b > 1000")) == [7, 8, 14]
         assert _ids(kql_query(uarchive, 'arr: "abc*" OR arr.b: 999')) == [15, 16]
+
+    def test_above_cap_distributed_is_exact(self, uarchive, monkeypatch):
+        """Forcing the array-dict cap to zero must route evaluation
+        through the distributed mapInPandas fallback and return results
+        IDENTICAL to the driver path — the degrade direction is
+        slow-but-exact, never silent under-matching."""
+        from clp_spark.clps import search as csearch
+
+        monkeypatch.setattr(csearch, "_MAX_ARRAY_DICT_VALUES", 0)
+        monkeypatch.setattr(uarchive, "_arr_vals_cache", None, raising=False)
+        monkeypatch.setattr(uarchive, "_arr_match_cache", {}, raising=False)
+        assert _ids(json_filter(uarchive, "arr.b", "gt", 1000)) == [7, 8, 14]
+        assert _ids(json_filter(uarchive, "arr.b", "neq", 1001)) == [14, 15]
+        assert _ids(json_filter(uarchive, "arr", "eq", "text*")) == [14]
+        assert _ids(json_filter(uarchive, "arr", "eq", None)) == [16]
+        assert _ids(json_filter(uarchive, "arr.b", "nexists")) == [0, 16]
+        # prove the distributed path actually ran (cap tripped + memo hit)
+        assert uarchive._arr_vals_cache == "over"
+        assert len(uarchive._arr_match_cache) > 0

@@ -104,6 +104,53 @@ def read_column_index(archive_dir: str):
     return list(zip(tbl.column("path").to_pylist(), tbl.column("tag").to_pylist()))
 
 
+# above this many archives the per-archive driver reads become the
+# planning bottleneck (the reference plans across archives in ONE SQL
+# query against its metadata DB — query_scheduler.py:464-524); batch
+# all indexes in a single Spark scan instead
+_BATCH_INDEX_MIN_ARCHIVES = 32
+
+
+def _read_indexes(spark, archive_dirs: list[str]) -> dict:
+    """{archive_dir: [(path, tag)]} for every archive. Small fleets use
+    the per-archive pyarrow read (fast, no job); large fleets read ALL
+    column_index parquets in ONE distributed scan keyed back to their
+    archive by file path — O(1) planning actions at any archive count."""
+    if len(archive_dirs) < _BATCH_INDEX_MIN_ARCHIVES or spark is None:
+        return {d: read_column_index(d) for d in archive_dirs}
+    # ensure every archive has a persisted index (pre-index archives)
+    for d in archive_dirs:
+        idx_dir = os.path.join(d, _INDEX_FILE)
+        if not os.path.isdir(idx_dir) or not any(os.scandir(idx_dir)):
+            write_column_index(d)
+    import pyspark.sql.functions as F
+
+    paths = [os.path.join(d, _INDEX_FILE) for d in archive_dirs]
+    df = (
+        spark.read.parquet(*paths)
+        .withColumn(
+            "_arch",
+            F.regexp_extract(
+                F.input_file_name(), f"(.*)/{_INDEX_FILE}/[^/]+$", 1
+            ),
+        )
+        .select("_arch", "path", "tag")
+    )
+    from urllib.parse import unquote, urlparse
+
+    amap = {os.path.abspath(d): d for d in archive_dirs}
+    out: dict = {d: [] for d in archive_dirs}
+    for r in df.collect():
+        u = urlparse(r["_arch"])
+        key = os.path.abspath(unquote(u.path) if u.scheme else r["_arch"])
+        d = amap.get(key)
+        if d is not None:
+            out[d].append((r["path"], r["tag"]))
+    for d in out:
+        out[d].sort()
+    return out
+
+
 # ---- required-field analysis of a KQL query -------------------------
 #
 # Mirrors _Parser's grammar (clps/kql.py) but computes only the set
@@ -288,8 +335,9 @@ def search_archives_kql(
     from clp_spark.clps.kql import kql_query
 
     req = required_paths(query)
+    idx_by_dir = _read_indexes(spark, archive_dirs)
     searched = [
-        d for d in archive_dirs if archive_may_match(read_column_index(d), req)
+        d for d in archive_dirs if archive_may_match(idx_by_dir[d], req)
     ]
     if not searched:
         return None, []

@@ -460,6 +460,232 @@ def surviving_unit_filter(
     return unit_filter(sorted(units), unit_cols), False
 
 
+def _plan_probes(cq: CompiledQuery):
+    """Compile the query's tokens into archive-level existence probes.
+
+    Returns (lt_conds, var_conds, tokens_req) where lt_conds/var_conds
+    are Columns over the logtype/var dict schemas (probe i hits an
+    archive iff any dict row satisfies cond i) and tokens_req is, per
+    token, the list of branch requirement trees:
+      None                -> branch unconstrained (token can't prune)
+      ("lt"|"var", pid)   -> branch needs that probe to hit
+      ("and", [trees])    -> split: every constrained part must hit
+    """
+    from clp_spark.config import PLACEHOLDER_FLOAT, PLACEHOLDER_INT
+    from clp_spark.search.wildcard import wildcard_to_java_regex
+
+    lt_conds: list = []
+    var_conds: list = []
+    lt_ids: dict = {}
+    var_ids: dict = {}
+
+    def lt_probe(key, cond):
+        if key not in lt_ids:
+            lt_ids[key] = len(lt_conds)
+            lt_conds.append(cond)
+        return ("lt", lt_ids[key])
+
+    def var_probe(key, cond):
+        if key not in var_ids:
+            var_ids[key] = len(var_conds)
+            var_conds.append(cond)
+        return ("var", var_ids[key])
+
+    def branch_tree(br):
+        k = br.kind
+        if k in ("any", "enc"):
+            return None  # not archive-indexable: cannot prune via dicts
+        if k == "logtype":
+            jrx = wildcard_to_java_regex(br.pattern, cq.ignore_case)
+            return lt_probe(
+                ("lt", br.pattern),
+                F.col("logtype").rlike("\\A(?:" + jrx + ")\\z"),
+            )
+        if k in ("enc_int", "enc_float"):
+            ph = PLACEHOLDER_INT if k == "enc_int" else PLACEHOLDER_FLOAT
+            return lt_probe(("ph", ph), F.col("logtype").contains(ph))
+        if k == "dictvar":
+            if _has_meta(br.pattern):
+                jrx = wildcard_to_java_regex(br.pattern, cq.ignore_case)
+                cond = F.col("value").rlike("\\A(?:" + jrx + ")\\z")
+            elif cq.ignore_case:
+                cond = F.lower(F.col("value")) == F.lit(br.pattern.lower())
+            else:
+                cond = F.col("value") == F.lit(br.pattern)
+            return var_probe(("var", br.pattern), cond)
+        if k == "split":
+            parts = [t for p in br.parts for t in _token_trees(p)]
+            constrained = [t for t in parts if t is not None]
+            if not constrained:
+                return None
+            return ("and", constrained)
+        return None
+
+    def _token_trees(tp):
+        # a token part inside a split is itself a TokenPred (OR of
+        # branches); at archive level OR-of-branches collapses to: the
+        # part is satisfied if ANY branch tree is satisfiable. For the
+        # AND above we conservatively require only parts whose EVERY
+        # branch is constrained (else the part can't prune).
+        trees = [branch_tree(b) for b in tp.branches]
+        if any(t is None for t in trees):
+            return [None]
+        if len(trees) == 1:
+            return trees
+        return [("or", trees)]
+
+    tokens_req = []
+    for tp in cq.tokens:
+        tokens_req.append([branch_tree(br) for br in tp.branches])
+    return lt_conds, var_conds, tokens_req
+
+
+def _eval_tree(tree, lt_hits: set, var_hits: set) -> bool:
+    if tree is None:
+        return True
+    op = tree[0]
+    if op == "lt":
+        return tree[1] in lt_hits
+    if op == "var":
+        return tree[1] in var_hits
+    if op == "and":
+        return all(_eval_tree(t, lt_hits, var_hits) for t in tree[1])
+    if op == "or":
+        return any(_eval_tree(t, lt_hits, var_hits) for t in tree[1])
+    return True
+
+
+def _norm_file_uri(p: str) -> str:
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(p)
+    return unquote(u.path) if u.scheme else p
+
+
+def plan_archives(
+    spark: SparkSession,
+    out_dirs: list,
+    query: str,
+    *,
+    ignore_case: bool = False,
+    substring: bool = True,
+    ts_range: tuple | None = None,
+    ts_col: str = "warc_ts",
+) -> list:
+    """Batched federated planning: the archive-level prune verdicts for
+    ALL archives come from ONE Spark action over union scans of every
+    archive's dictionaries (+ ts zone maps), instead of a per-archive
+    driver loop (the reference plans across its archives in one SQL
+    query against the metadata DB — query_scheduler.py:464-524; here
+    the dict parquets ARE the metadata tables). O(1) planning jobs at
+    any archive count. Conservative and therefore exact: an archive is
+    dropped only when some required token provably has no candidate
+    value/template there, or its ts zone map (same ts_src) proves no
+    segment overlaps ts_range."""
+    cq = compile_query(query, ignore_case=ignore_case, substring=substring)
+    amap = {os.path.abspath(d): d for d in out_dirs}
+    if cq.match_all and ts_range is None:
+        return list(out_dirs)
+
+    lt_conds, var_conds, tokens_req = (
+        _plan_probes(cq) if not cq.match_all else ([], [], [])
+    )
+
+    def _agg_hits(sub: str, conds: list, tag: str):
+        paths = [
+            os.path.join(d, "dicts", sub)
+            for d in out_dirs
+            if os.path.isdir(os.path.join(d, "dicts", sub))
+        ]
+        if not conds or not paths:
+            return None
+        df = spark.read.parquet(*paths).withColumn(
+            "_arch",
+            F.regexp_extract(F.input_file_name(), f"(.*)/dicts/{sub}/[^/]+$", 1),
+        )
+        aggs = [
+            F.max(c.cast("int")).alias(f"{tag}{i}") for i, c in enumerate(conds)
+        ]
+        return df.groupBy("_arch").agg(*aggs)
+
+    lt_agg = _agg_hits("logtype", lt_conds, "l")
+    var_agg = _agg_hits("var", var_conds, "v")
+
+    ts_agg = None
+    if ts_range is not None:
+        seg_paths = [
+            os.path.join(d, "manifest", "segments")
+            for d in out_dirs
+            if os.path.isdir(os.path.join(d, "manifest", "segments"))
+        ]
+        if seg_paths:
+            try:
+                seg = (
+                    spark.read.option("mergeSchema", "true").parquet(*seg_paths)
+                )
+            except Exception:
+                seg = None  # mixed zone-map types: skip ts planning
+            if seg is not None and "ts_min" in seg.columns:
+                seg = seg.withColumn(
+                    "_arch",
+                    F.regexp_extract(
+                        F.input_file_name(), "(.*)/manifest/segments/[^/]+$", 1
+                    ),
+                )
+                lo, hi = ts_range
+                overlap = F.lit(True)
+                if lo is not None:
+                    overlap = overlap & (F.col("ts_max") >= F.lit(lo))
+                if hi is not None:
+                    overlap = overlap & (F.col("ts_min") <= F.lit(hi))
+                if "ts_src" in seg.columns:
+                    src_ok = F.col("ts_src") == F.lit(ts_col)
+                else:
+                    src_ok = F.lit(ts_col == "warc_ts")
+                # prunable: the archive HAS a matching-source zone map;
+                # alive: some segment of it overlaps the range
+                ts_agg = seg.groupBy("_arch").agg(
+                    F.max(src_ok.cast("int")).alias("_prunable"),
+                    F.max((src_ok & overlap).cast("int")).alias("_alive"),
+                )
+
+    frames = [f for f in (lt_agg, var_agg, ts_agg) if f is not None]
+    if not frames:
+        return list(out_dirs)
+    joined = frames[0]
+    for f in frames[1:]:
+        joined = joined.join(f, "_arch", "full_outer")
+    rows = joined.collect()  # the ONE planning action
+
+    by_arch = {}
+    for r in rows:
+        by_arch[os.path.abspath(_norm_file_uri(r["_arch"]))] = r
+
+    survivors = []
+    for ap, d in amap.items():
+        r = by_arch.get(ap)
+        if r is None:
+            survivors.append(d)  # nothing readable to prune on: keep
+            continue
+        rd = r.asDict()
+        lt_hits = {
+            i for i in range(len(lt_conds)) if (rd.get(f"l{i}") or 0) >= 1
+        }
+        var_hits = {
+            i for i in range(len(var_conds)) if (rd.get(f"v{i}") or 0) >= 1
+        }
+        alive = True
+        for trees in tokens_req:
+            if not any(_eval_tree(t, lt_hits, var_hits) for t in trees):
+                alive = False
+                break
+        if alive and ts_agg is not None and (rd.get("_prunable") or 0) >= 1:
+            alive = (rd.get("_alive") or 0) >= 1
+        if alive:
+            survivors.append(d)
+    return survivors
+
+
 def search_archives(
     spark: SparkSession,
     out_dirs: list,
@@ -468,24 +694,20 @@ def search_archives(
 ) -> DataFrame:
     """Federated search across MANY compress() archives — the clg CLI's
     ARCHIVES-DIR shape (each archive searched with its own dictionaries;
-    results unioned: Grep.cpp's per-archive loop). Archives whose
-    manifests prove zero candidates are skipped WITHOUT submitting any
-    Spark job — the archive-level prune the reference's metadata DB
-    provides (ts ranges + segment indexes)."""
-    parts: list[DataFrame] = []
-    for d in out_dirs:
-        pred, empty = surviving_unit_filter(
-            spark,
-            d,
-            query,
-            ignore_case=kwargs.get("ignore_case", False),
-            substring=kwargs.get("substring", True),
-            ts_range=kwargs.get("ts_range"),
-            ts_col=kwargs.get("ts_col", "warc_ts"),
-        )
-        if empty:
-            continue
-        parts.append(search_sinks(spark, d, query, **kwargs))
+    results unioned: Grep.cpp's per-archive loop). Archive-level
+    pruning is BATCHED: one planning action over all archives'
+    dictionaries + zone maps (plan_archives) decides which archives can
+    match at all; only survivors get their per-archive staged search."""
+    survivors = plan_archives(
+        spark,
+        out_dirs,
+        query,
+        ignore_case=kwargs.get("ignore_case", False),
+        substring=kwargs.get("substring", True),
+        ts_range=kwargs.get("ts_range"),
+        ts_col=kwargs.get("ts_col", "warc_ts"),
+    )
+    parts = [search_sinks(spark, d, query, **kwargs) for d in survivors]
     if not parts:
         # preserve the output schema: run one archive's (empty) search
         return search_sinks(spark, out_dirs[0], query, **kwargs).limit(0)

@@ -190,3 +190,34 @@ def test_pruning_soundness_fuzz(spark, tmp_path):
                 checked_pruned += 1
                 assert kql_query(arch, q).count() == 0, (q, d)
     assert checked_pruned > 10  # the fuzz actually exercised pruning
+
+
+def test_batched_index_read_matches_per_archive(spark, tmp_path_factory):
+    """Above _BATCH_INDEX_MIN_ARCHIVES, planning reads every archive's
+    column index in ONE distributed scan; the result must be identical
+    to the per-archive driver reads."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clp_spark.clps.index import _read_indexes, read_column_index
+
+    base = tmp_path_factory.mktemp("idx_batch")
+    dirs = []
+    for i in range(40):
+        d = base / f"arch{i:02d}"
+        (d / "schema_tree").mkdir(parents=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "node_id": pa.array([0, 1], pa.int64()),
+                    "path": [f"field{i}", "shared"],
+                    "tag": pa.array([4, 0], pa.int32()),
+                }
+            ),
+            str(d / "schema_tree" / "p.parquet"),
+        )
+        dirs.append(str(d))
+    batched = _read_indexes(spark, dirs)
+    serial = {d: read_column_index(d) for d in dirs}
+    assert batched == serial
+    assert all(len(v) == 2 for v in batched.values())

@@ -192,6 +192,62 @@ def test_search_archives_federation(spark, pages_pdf, tmp_path_factory):
         assert empty
     assert search_archives(spark, dirs, "zz_nowhere_token_9x").count() == 0
 
+    # the batched planner agrees with the per-archive verdicts
+    from clp_spark.search.sinks import plan_archives
+
+    assert plan_archives(spark, dirs, "zz_nowhere_token_9x") == []
+    assert plan_archives(spark, dirs, q) == dirs
+
+
+def test_plan_archives_batched_o1_jobs(spark, tmp_path_factory):
+    """100 archives plan in O(1) Spark actions (one union dict scan +
+    one collect), not an O(archives) driver loop, and the verdicts are
+    exact: only the archive hosting the queried token survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clp_spark.search.sinks import plan_archives
+
+    base = tmp_path_factory.mktemp("plan100")
+    dirs = []
+    for i in range(100):
+        d = base / f"arch{i:03d}"
+        (d / "dicts" / "logtype").mkdir(parents=True)
+        (d / "dicts" / "var").mkdir(parents=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "logtype_id": pa.array([0], pa.int64()),
+                    "logtype": ["static message template"],
+                }
+            ),
+            str(d / "dicts" / "logtype" / "p.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "var_id": pa.array([0, 1], pa.int64()),
+                    "value": [f"zqtok{i}xx", "zqcommonxx"],
+                }
+            ),
+            str(d / "dicts" / "var" / "p.parquet"),
+        )
+        dirs.append(str(d))
+
+    sc = spark.sparkContext
+    sc.setJobGroup("plan100", "batched federated planning")
+    try:
+        surv = plan_archives(spark, dirs, "zqtok42xx")
+    finally:
+        sc.setJobGroup("plan100-done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("plan100")
+    assert surv == [dirs[42]]
+    # O(1) actions regardless of archive count (AQE may split the one
+    # collect into a few jobs — the bound just must not scale with N)
+    assert 1 <= len(jobs) <= 5, jobs
+    # a token every archive hosts keeps them all, in input order
+    assert plan_archives(spark, dirs, "zqcommonxx") == dirs
+
 
 def test_distributed_pruning_above_driver_cap(
     spark, compressed, pages_pdf, monkeypatch

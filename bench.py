@@ -114,8 +114,22 @@ def main() -> None:
     t0 = time.time()
     compress(spark, pages, out2, PipelineConfig(num_checkpoint_buckets=1))
     pipeline_wall2 = time.time() - t0
-    shutil.rmtree(out2, ignore_errors=True)
     pages.unpersist()
+
+    # ---- var-manifest probe (REPORTED SEPARATELY): dict-var-selective
+    # IN-probe against the just-written range-sorted var manifest (the
+    # pages corpus carries dict vars; the sf parquet corpora do not).
+    # The min/max layout guarantee is asserted by
+    # test_var_manifest_pruning; this line prices the probe ----
+    vm = spark.read.parquet(os.path.join(out2, "manifest", "var"))
+    vid = vm.selectExpr("max(var_id) v").collect()[0]["v"]
+    if vid is None:
+        var_probe_sec = 0.0
+    else:
+        t0 = time.time()
+        vm.filter(f"var_id IN ({int(vid)})").count()
+        var_probe_sec = round(time.time() - t0, 3)
+    shutil.rmtree(out2, ignore_errors=True)
 
     # ---- distributed clp_s build (REPORTED SEPARATELY — headline
     # accounting unchanged): force driver_dict_cap below the sf's
@@ -176,6 +190,7 @@ def main() -> None:
         "archive_build_sec": archive_build_sec,
         "clps_distributed": {"rows": dist_rows, "build_sec": clps_dist_sec},
         "curation_minhash_sec": curation_minhash_sec,
+        "var_manifest_probe_sec": var_probe_sec,
         "cpus": cpus,
     }
     print(json.dumps(result))

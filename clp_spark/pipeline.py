@@ -235,6 +235,21 @@ def _write_metrics_driver(
     )
 
 
+def write_var_manifest(var_man, path: str) -> None:
+    """var-dict bloom analog (clp_s/filter/BloomFilter.hpp:18-29): the
+    manifest is the var-side index searched with `var_id IN (...)` —
+    range-partitioning + sorting by var_id gives each file/row group a
+    tight disjoint id range (stats prune) and the parquet bloom catches
+    the residue, so a dict-var-selective query touches few manifest
+    files even above the driver-collect cap.
+    test_var_manifest_pruning asserts the layout actually bites."""
+    var_man.repartitionByRange("var_id").sortWithinPartitions(
+        "var_id"
+    ).write.mode("overwrite").option(
+        "parquet.bloom.filter.enabled#var_id", "true"
+    ).parquet(path)
+
+
 def _parse_phase(
     pages: DataFrame,
     cfg: PipelineConfig,
@@ -506,18 +521,7 @@ def compress(
         )
 
         def _w_var():
-            # var-dict bloom analog (clp_s/filter/BloomFilter.hpp:18-29):
-            # the manifest is the var-side index searched with
-            # `var_id IN (...)` — range-partitioning + sorting by var_id
-            # gives each file/row group a tight disjoint id range (stats
-            # prune) and the parquet bloom catches the residue, so a
-            # dict-var-selective query touches few manifest files even
-            # above the driver-collect cap
-            var_man.repartitionByRange("var_id").sortWithinPartitions(
-                "var_id"
-            ).write.mode("overwrite").option(
-                "parquet.bloom.filter.enabled#var_id", "true"
-            ).parquet(os.path.join(out_dir, "manifest", "var"))
+            write_var_manifest(var_man, os.path.join(out_dir, "manifest", "var"))
 
         def _w_varcard():
             return (

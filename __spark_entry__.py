@@ -1100,9 +1100,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("frame_offset").cast("long").alias("frame_offset"),
         )
 
+    def mm_frame_sample_avi(spark, sf):
+        # REAL demuxer path (no fake anywhere): synthesize a
+        # deterministic uncompressed AVI per doc (synth_avi), walk the
+        # RIFF chunks natively (demux_avi) and emit each video frame's
+        # actual byte offset; the oracle recomputes the offsets in
+        # closed form from the fixed header layout.
+        import pandas as _pd
+
+        from clp_spark.functions.multimodal import frame_sample, synth_avi
+
+        docs = _read(spark, sf, "documents").select("doc_id")
+
+        def gen(batches):
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload": [synth_avi(int(i)) for i in pdf["doc_id"]],
+                    }
+                )
+
+        with_payload = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+        return frame_sample(with_payload, "payload", "doc_id", fake=False)
+
     q["mm_binary_meta"] = mm_binary_meta
     q["mm_decode_features"] = mm_decode_features
     q["mm_frame_sample"] = mm_frame_sample
+    q["mm_frame_sample_avi"] = mm_frame_sample_avi
 
     return q
 
@@ -1673,6 +1698,26 @@ GROUP BY d.doc_id
                  UNNEST(range(0, greatest(
                      CAST(floor(octet_length(encode(text)) / 64) AS BIGINT), 1
                  ))) AS u(i)
+        """,
+        # mm_frame_sample_avi: the Spark side builds an uncompressed AVI
+        # per doc (w=1+id%13, h=1+id%7, n=1+id%4 frames) and demuxes it
+        # by actually walking the RIFF chunks; the fixed header layout
+        # puts frame k's DIB data at 232 + k*(8 + stride*h) with
+        # stride = ((3w+3)//4)*4 — recomputed here in closed form.
+        "mm_frame_sample_avi": """
+            WITH p AS (
+              SELECT doc_id,
+                     1 + doc_id % 13 AS w,
+                     1 + doc_id % 7 AS h,
+                     1 + doc_id % 4 AS n
+              FROM documents
+            ), q AS (
+              SELECT doc_id, n, (((3 * w + 3) // 4) * 4) * h AS fsz FROM p
+            )
+            SELECT doc_id AS id,
+                   CAST(u.k AS BIGINT) AS frame_idx,
+                   CAST(232 + u.k * (8 + fsz) AS BIGINT) AS frame_offset
+            FROM q, UNNEST(range(0, n)) AS u(k)
         """,
         # mm_decode_features: the Spark side builds a BMP whose pixels
         # are (doc_id + k) % 256 for k in [0, w*h*3) and decodes it with

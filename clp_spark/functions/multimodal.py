@@ -179,6 +179,150 @@ def decode_wav(payload: bytes):
     return channels, rate, np.frombuffer(data, dtype="<i2")
 
 
+# ---------------------------------------------------------------------------
+# RIFF/AVI: a real, dependency-free demuxer for uncompressed ('DIB ')
+# AVI — the public container format (RIFF 'AVI ' → LIST hdrl [avih +
+# LIST strl [strh + strf]] → LIST movi ['00db' DIB frames] → idx1).
+# Frames are the same bottom-up padded-stride BGR raster BMP uses, so
+# the frame decode shares decode_bmp's core. Compressed codecs inside
+# AVI ('00dc' with non-DIB strf) still raise — that is the ffmpeg plug
+# point; the CONTAINER walk below is complete.
+
+
+def _dib_decode(frame: bytes, width: int, height: int) -> np.ndarray:
+    """Bottom-up 24-bit DIB raster → flat top-down RGB uint8 array
+    (the BMP pixel-array layout without the BMP file headers)."""
+    stride = ((width * 3 + 3) // 4) * 4
+    data = np.frombuffer(frame, dtype=np.uint8, count=stride * height)
+    rows = data.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    return rows[::-1][:, :, ::-1].reshape(-1)
+
+
+def _dib_encode(width: int, height: int, rgb: bytes) -> bytes:
+    """Flat top-down RGB → bottom-up padded-stride BGR DIB raster."""
+    stride = ((width * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        r = np.frombuffer(row, dtype=np.uint8).reshape(width, 3)[:, ::-1]
+        rows.append(r.tobytes() + pad)
+    return b"".join(rows)
+
+
+def write_avi(frames, width: int, height: int, fps: int = 30) -> bytes:
+    """Encode an uncompressed AVI: each frame is flat top-down RGB bytes
+    of length width*height*3, stored as a '00db' DIB chunk, with an
+    idx1 index. Minimal but spec-complete for single-video-stream DIB."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    fsz = stride * height
+    n = len(frames)
+    # MainAVIHeader (56 bytes)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
+        fsz * fps,                 # dwMaxBytesPerSec
+        0, 0x10,                   # padding, AVIF_HASINDEX
+        n, 0, 1, fsz, width, height, 0, 0, 0, 0,
+    )
+    # AVIStreamHeader (56 bytes) — fccType 'vids', handler 'DIB '
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, fsz, 0xFFFFFFFF, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, fsz, 2835, 2835, 0, 0
+    )
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_frames = b"".join(chunk(b"00db", _dib_encode(width, height, f))
+                           for f in frames)
+    movi = lst(b"movi", movi_frames)
+    # idx1 offsets are relative to the 'movi' fourcc position + 4
+    idx_entries = []
+    off = 4
+    for _ in range(n):
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, fsz))
+        off += 8 + fsz + (fsz & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi(payload: bytes):
+    """Walk a RIFF/AVI container → (width, height,
+    [(frame_idx, data_offset, data_size)]) for the video '00db'/'00dc'
+    chunks inside LIST movi. Offsets are absolute byte positions of the
+    frame DATA in the payload — the frame-sampling contract. Raises
+    ValueError when the container is not AVI."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    width = height = None
+    frames: list[tuple[int, int, int]] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height
+        i = start
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            sz = struct.unpack_from("<I", payload, i + 4)[0]
+            data0 = i + 8
+            if cid == b"LIST":
+                walk(data0 + 4, data0 + sz)
+            elif cid == b"avih":
+                width, height = struct.unpack_from("<II", payload, data0 + 32)
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                frames.append((len(frames), data0, sz))
+            i = data0 + sz + (sz & 1)
+
+    walk(12, len(payload))
+    if width is None:
+        raise ValueError("AVI without avih header")
+    return width, height, frames
+
+
+def decode_avi_frames(payload: bytes):
+    """(width, height, [flat top-down RGB arrays]) — demux + DIB-decode
+    every frame (uncompressed '00db' only; '00dc' raises)."""
+    w, h, frames = demux_avi(payload)
+    out = []
+    for idx, off, sz in frames:
+        if payload[off - 8 : off - 6] != b"00" or payload[off - 6 : off - 4] != b"db":
+            raise NotImplementedError("compressed AVI stream needs ffmpeg")
+        out.append(_dib_decode(payload[off : off + sz], w, h))
+    return w, h, out
+
+
+def synth_avi(doc_id: int) -> bytes:
+    """Deterministic test video: (1 + id%13) × (1 + id%7), 1 + id%4
+    frames; frame k's flat RGB bytes are (id + k + j) % 256. The
+    header layout is fixed-size, so frame k's data offset has the
+    closed form 232 + k·(8 + stride·h) — the mm_frame_sample_avi
+    oracle recomputes it in SQL."""
+    w = 1 + doc_id % 13
+    h = 1 + doc_id % 7
+    n = 1 + doc_id % 4
+    frames = [
+        ((doc_id + k + np.arange(w * h * 3)) % 256).astype(np.uint8).tobytes()
+        for k in range(n)
+    ]
+    return write_avi(frames, w, h)
+
+
 def synth_bmp(doc_id: int) -> bytes:
     """Deterministic test image: a (1 + id%31) × (1 + id%17) 24-bit BMP
     whose flat RGB bytes are (doc_id + k) % 256 — closed-form oracle:
@@ -270,28 +414,54 @@ def frame_sample(
     id_col: str = "doc_id",
     every_n_bytes: int = 1024,
     fake: bool = False,
+    every_n_frames: int = 1,
 ) -> DataFrame:
-    """Video frame-sampling plumbing: (id, frame_idx, frame_offset).
+    """Video frame-sampling: (id, frame_idx, frame_offset).
 
-    Real implementation would demux with ffmpeg; the deterministic fake
-    emits one 'frame' per every_n_bytes of payload so the explode shape,
-    schema, and per-row fan-out are exercised for real.
+    fake=False demuxes REAL RIFF/AVI containers (demux_avi — the native
+    chunk walk) and emits every every_n_frames-th video frame with its
+    actual byte offset in the payload; non-AVI payloads raise inside the
+    task (compressed containers are ffmpeg's job). fake=True keeps the
+    deterministic byte-block double (one 'frame' per every_n_bytes) for
+    shape/plumbing tests and the legacy oracle.
     """
-    if not fake:
-        raise NotImplementedError(
-            "video demuxer not available; pass fake=True for the test double"
+    if fake:
+        return (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.expr(f"octet_length({bin_col})").alias("_nb"),
+            )
+            .select(
+                "id",
+                F.posexplode(
+                    F.expr(
+                        f"sequence(0, greatest(cast(_nb/{every_n_bytes} as int)-1, 0))"
+                    )
+                ).alias("frame_idx", "frame_offset_block"),
+            )
+            .withColumn("frame_offset", F.col("frame_offset_block") * every_n_bytes)
+            .drop("frame_offset_block")
         )
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.expr(f"octet_length({bin_col})").alias("_nb"),
-        )
-        .select(
-            "id",
-            F.posexplode(
-                F.expr(f"sequence(0, greatest(cast(_nb/{every_n_bytes} as int)-1, 0))")
-            ).alias("frame_idx", "frame_offset_block"),
-        )
-        .withColumn("frame_offset", F.col("frame_offset_block") * every_n_bytes)
-        .drop("frame_offset_block")
+
+    step = max(int(every_n_frames), 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[bin_col]):
+                _w, _h, frames = demux_avi(bytes(payload))
+                for fidx, off, _sz in frames[::step]:
+                    ids.append(i)
+                    idxs.append(fidx)
+                    offs.append(off)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_offset": pd.Series(offs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        run, schema="id long, frame_idx long, frame_offset long"
     )

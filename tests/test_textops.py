@@ -216,8 +216,71 @@ def test_frame_sample(spark):
     rows = frame_sample(df, every_n_bytes=1024, fake=True).collect()
     assert len(rows) == 4
     assert [r["frame_offset"] for r in rows] == [0, 1024, 2048, 3072]
-    with pytest.raises(NotImplementedError):
-        frame_sample(df, fake=False)
+    # fake=False demuxes for real now: a non-AVI payload fails inside
+    # the task (ValueError("not an AVI") surfaces as PythonException)
+    with pytest.raises(Exception):
+        frame_sample(df, fake=False).collect()
+
+
+def test_avi_demux_roundtrip():
+    """write_avi → demux_avi/decode_avi_frames: real RIFF chunk walk,
+    byte-exact frames, offsets pointing at the actual DIB data."""
+    import numpy as np
+
+    from clp_spark.functions.multimodal import (
+        decode_avi_frames,
+        demux_avi,
+        synth_avi,
+        write_avi,
+    )
+
+    rng = np.random.default_rng(11)
+    for w, h, n in [(1, 1, 1), (6, 4, 3), (13, 7, 4), (32, 2, 2)]:
+        frames = [
+            rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+            for _ in range(n)
+        ]
+        payload = write_avi(frames, w, h)
+        w2, h2, metas = demux_avi(payload)
+        assert (w2, h2, len(metas)) == (w, h, n)
+        stride = ((w * 3 + 3) // 4) * 4
+        for k, (idx, off, sz) in enumerate(metas):
+            assert idx == k and sz == stride * h
+            # the offset is real: the chunk id sits 8 bytes before it
+            assert payload[off - 8 : off - 4] == b"00db"
+        _w, _h, decoded = decode_avi_frames(payload)
+        for got, want in zip(decoded, frames):
+            assert got.tobytes() == want
+    # synth_avi's closed-form offsets (the mm_frame_sample_avi oracle)
+    for did in (0, 7, 13, 41, 9999):
+        p = synth_avi(did)
+        w, h, metas = demux_avi(p)
+        fsz = ((w * 3 + 3) // 4) * 4 * h
+        assert [off for _i, off, _s in metas] == [
+            232 + k * (8 + fsz) for k in range(len(metas))
+        ]
+
+
+def test_frame_sample_real_avi(spark):
+    from clp_spark.functions.multimodal import demux_avi, synth_avi
+
+    ids = [3, 14, 15]
+    df = spark.createDataFrame(
+        [(i, synth_avi(i)) for i in ids], "doc_id long, payload binary"
+    )
+    rows = frame_sample(df, fake=False).collect()
+    got = {(r["id"], r["frame_idx"], r["frame_offset"]) for r in rows}
+    want = {
+        (i, k, off)
+        for i in ids
+        for k, off, _sz in demux_avi(synth_avi(i))[2]
+    }
+    assert got == want
+    # frame-rate subsampling keeps every 2nd frame
+    sub = frame_sample(df, fake=False, every_n_frames=2).collect()
+    assert {(r["id"], r["frame_idx"]) for r in sub} == {
+        (i, k) for i in ids for k in range(0, 1 + i % 4, 2)
+    }
 
 
 def test_codecs_roundtrip():

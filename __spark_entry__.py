@@ -223,6 +223,38 @@ def _events_json_archive(spark, sf):
     return _CORPUS_CACHE[key]
 
 
+def _events_kv_ir_streams(spark, sf):
+    """KV IR streams (v0.1.0 wire format) serialized from the events
+    table — the streaming producer path logging libraries emit
+    (clp/ffi/ir_stream/Serializer.cpp); searched WITHOUT archiving by
+    ir_kv_search (clp_s/kv_ir_search.hpp:26-36)."""
+    key = ("kv_ir", id(spark), sf)
+    if key not in _CORPUS_CACHE:
+        from clp_spark.ir import serialize_kv_ir_df
+
+        ev = _read(spark, sf, "events")
+        j = ev.select(
+            "event_id",
+            F.expr("unix_millis(cast(ts as timestamp))").alias("ts_ms"),
+            F.to_json(
+                F.struct(
+                    F.col("event_type").alias("type"),
+                    F.col("user_id").alias("uid"),
+                    F.get_json_object("props", "$.k").cast("long").alias("k"),
+                    F.concat(
+                        F.lit("user "), "user_id", F.lit(" did "), "event_type"
+                    ).alias("msg"),
+                )
+            ).alias("json"),
+        )
+        s = serialize_kv_ir_df(
+            j, "json", auto_cols=("event_id", "ts_ms"), events_per_stream=8192
+        ).persist()
+        s.count()
+        _CORPUS_CACHE[key] = s
+    return _CORPUS_CACHE[key]
+
+
 def _events_json_uarchive(spark, sf):
     """Unstructured-array variant (the clp_s DEFAULT): arrays stay whole
     (UnstructuredArray nodes); a query path that dead-ends at one is
@@ -1129,6 +1161,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_frame_sample"] = mm_frame_sample
     q["mm_frame_sample_avi"] = mm_frame_sample_avi
 
+    # ---- IR streams (clp/ffi/ir_stream; clp_s/kv_ir_search) ----
+    def ir_kv_search(spark, sf):
+        # search KV IR streams directly — no archive build
+        # (kv_ir_search.hpp:26-36); KQL grammar + match semantics are
+        # shared with the archive engine (ir/search.py)
+        from clp_spark.ir import search_kv_ir
+
+        streams = _events_kv_ir_streams(spark, sf)
+        hits = search_kv_ir(streams, 'msg: "user * did click" AND k >= 40')
+        return hits.select(
+            F.get_json_object("auto", "$.event_id").cast("long").alias("event_id")
+        )
+
+    def ir_kv_roundtrip(spark, sf):
+        # serialize → deserialize fidelity for the KV wire format
+        # (Serializer.cpp ↔ ir_unit_deserialization_methods.cpp)
+        from clp_spark.ir import read_kv_ir
+
+        streams = _events_kv_ir_streams(spark, sf)
+        ev = read_kv_ir(streams)
+        return ev.select(
+            F.get_json_object("auto", "$.event_id").cast("long").alias("event_id"),
+            F.get_json_object("user", "$.type").alias("type"),
+            F.get_json_object("user", "$.uid").cast("long").alias("uid"),
+            F.get_json_object("user", "$.k").cast("long").alias("k"),
+            F.get_json_object("user", "$.msg").alias("msg"),
+        )
+
+    def ir_grep(spark, sf):
+        # unstructured IR (v0.0.2, four-byte deltas): wildcard grep +
+        # ts range over streams without archiving; messages regenerate
+        # byte-exactly from logtype + encoded vars
+        from clp_spark.ir import grep_ir, serialize_ir_df
+
+        ev = _read(spark, sf, "events")
+        lines = ev.select(
+            F.expr("unix_millis(cast(ts as timestamp))").alias("ts_ms"),
+            F.concat(
+                F.lit("user "), "user_id", F.lit(" did "), "event_type",
+                F.lit(" eid="), "event_id",
+            ).alias("message"),
+        )
+        streams = serialize_ir_df(lines, events_per_stream=8192)
+        out = grep_ir(
+            streams,
+            "*did purchase*",
+            ts_min=1704412800000,
+            ts_max=1705017600000,
+        )
+        return out.select("ts_ms", "message")
+
+    q["ir_kv_search"] = ir_kv_search
+    q["ir_kv_roundtrip"] = ir_kv_roundtrip
+    q["ir_grep"] = ir_grep
+
     return q
 
 
@@ -1490,6 +1577,26 @@ def oracle_sql() -> dict[str, str]:
         "clp_events_int_var_grep": (
             f"SELECT event_id FROM events WHERE {ev_msg} LIKE '% 69}}%'"
         ),
+        "ir_kv_search": """
+            SELECT event_id FROM events
+            WHERE event_type = 'click'
+              AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 40
+        """,
+        "ir_kv_roundtrip": """
+            SELECT event_id, event_type AS type, user_id AS uid,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   'user ' || user_id || ' did ' || event_type AS msg
+            FROM events
+        """,
+        "ir_grep": """
+            SELECT epoch_ms(ts) AS ts_ms,
+                   'user ' || user_id || ' did ' || event_type
+                     || ' eid=' || event_id AS message
+            FROM events
+            WHERE event_type = 'purchase'
+              AND epoch_ms(ts) >= 1704412800000
+              AND epoch_ms(ts) <= 1705017600000
+        """,
         "agg_count_by_type": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
         ),

@@ -120,6 +120,12 @@ class _Parser:
         self.prune_nodes: list[int] = []
         self.prunable = True  # only pure positive AND/atom trees prune
 
+    def _false(self) -> Column:
+        """Never-matching predicate — a hook so grammar subclasses with a
+        non-Column predicate algebra (ir/search.py's per-event closures)
+        can reuse this parser unchanged."""
+        return F.lit(False)
+
     def peek(self, ahead: int = 0):
         j = self.i + ahead
         return self.toks[j] if j < len(self.toks) else (None, None)
@@ -230,7 +236,7 @@ class _Parser:
             if _matches(entry["fields"].get(field)):
                 p = (idx >= entry["idx_min"]) & (idx <= entry["idx_max"])
                 pred = p if pred is None else (pred | p)
-        return F.lit(False) if pred is None else pred
+        return self._false() if pred is None else pred
 
     def _timestamp_value(self) -> int:
         """Consume 'timestamp' '(' "ts" [',' "pattern"] ')' (the word
@@ -331,7 +337,7 @@ class _Parser:
         if k != "rpar":
             raise ValueError("expected ')' closing value list")
         if not preds:
-            return F.lit(False)
+            return self._false()
         if mode == "not":
             self.prunable = False
             out = ~preds[0]

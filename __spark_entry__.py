@@ -675,6 +675,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id"
         )
 
+    def clp_json_clpstring_wild(spark, sf):
+        # wildcard value inside a CLP-encoded string
+        # (QueryRunner.cpp:463-516): compiled logtype/var candidate
+        # prefilter over the encoded frame + decode-confirm survivors
+        from clp_spark.clps import kql_query
+
+        arch = _events_json_archive(spark, sf)
+        return kql_query(arch, 'msg: "user * did p*e"').select("event_id")
+
     def clp_json_roundtrip(spark, sf):
         # ordered JSON extract: reconstruct every record structurally
         from clp_spark.clps import reconstruct_json_df
@@ -813,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clp_ts_tz_range_count"] = clp_ts_tz_range_count
     q["clp_json_typed_filter"] = clp_json_typed_filter
     q["clp_json_clpstring_eq"] = clp_json_clpstring_eq
+    q["clp_json_clpstring_wild"] = clp_json_clpstring_wild
     q["clp_json_roundtrip"] = clp_json_roundtrip
     q["clp_multiline_assembly"] = clp_multiline_assembly
     q["clp_stream_assembly"] = clp_stream_assembly
@@ -1458,6 +1468,9 @@ def oracle_sql() -> dict[str, str]:
         "clp_json_clpstring_eq": """
             SELECT event_id FROM events
             WHERE ('user ' || user_id || ' did ' || event_type) = 'user 7 did view'
+        """,
+        "clp_json_clpstring_wild": """
+            SELECT event_id FROM events WHERE event_type LIKE 'p%e'
         """,
         "clp_json_roundtrip": """
             SELECT event_id,

@@ -466,6 +466,152 @@ def _array_preds(
     return preds, all_nodes
 
 
+def _clps_token_cond(tp, idx, ignore_case: bool):
+    """One compiled query token → SQL condition over a jvals element
+    `x` (ClpString layout: x.enc = logtype id, x.vars = per-slot dict
+    var ids / encoded values). Mirrors executor._token_pred's branch
+    algebra: None ⇒ unconstrained, False ⇒ infeasible. Slot positions
+    are not pinned (arrays_overlap/array_contains) — a sound superset;
+    the decode-confirm stage restores exactness."""
+    from clp_spark.config import PLACEHOLDER_FLOAT, PLACEHOLDER_INT
+    from clp_spark.search.executor import _MAX_ISIN_IDS
+
+    lt_ids: set = set()
+    conds: list[str] = []
+    for br in tp.branches:
+        k = br.kind
+        if k == "any":
+            return None
+        if k == "logtype":
+            ids = idx.logtype_ids(br.pattern, ignore_case)
+            if ids is None:
+                return None
+            lt_ids |= ids
+        elif k in ("enc_int", "enc_float"):
+            ids = idx.lt_with_placeholder(
+                PLACEHOLDER_INT if k == "enc_int" else PLACEHOLDER_FLOAT
+            )
+            if ids is None:
+                return None
+            lt_ids |= ids
+        elif k == "enc":
+            conds.append(f"array_contains(x.vars, {int(br.value)}L)")
+        elif k == "dictvar":
+            if _has_wildcard(br.pattern):
+                ids = idx.var_ids(br.pattern, ignore_case)
+            else:
+                ids = idx.var_ids_exact(br.pattern, ignore_case)
+            if ids is None:
+                return None
+            if ids:
+                body = ",".join(f"{int(i)}L" for i in sorted(ids))
+                conds.append(f"arrays_overlap(x.vars, array({body}))")
+        elif k == "split":
+            sub: list[str] = []
+            dead = False
+            for part in br.parts:
+                c = _clps_token_cond(part, idx, ignore_case)
+                if c is False:
+                    dead = True
+                    break
+                if c is not None:
+                    sub.append(c)
+            if dead:
+                continue  # this split interpretation is impossible
+            if not sub:
+                return None
+            conds.append(" AND ".join(f"({c})" for c in sub))
+    if lt_ids:
+        if len(lt_ids) > _MAX_ISIN_IDS:
+            return None
+        body = ",".join(str(int(i)) for i in sorted(lt_ids))
+        conds.append(f"x.enc IN ({body})")
+    if not conds:
+        return False
+    return " OR ".join(f"({c})" for c in conds)
+
+
+def _clpstr_wildcard_pred(
+    archive: JsonArchive, cnodes: list[int], pattern: str, ignore_case: bool
+) -> Column:
+    """EQ with a wildcard value against ClpString nodes
+    (QueryRunner.cpp:463-516 evaluate_clp_string_filter): prefilter
+    candidates with the same interpretation engine the unstructured
+    path uses (search/compiler.py — logtype-dict wildcard scan + var
+    conditions, compiled as an AND-of-ORs superset over the jvals
+    element), then decode + full-wildcard-confirm survivors (the
+    reference's wildcard_match on extract_value). Catalyst evaluates
+    the non-UDF prefilter first, so the Arrow confirm only sees
+    candidate rows."""
+    from clp_spark.clps.encoder import _collect_map
+    from clp_spark.search.compiler import compile_query
+    from clp_spark.search.decode import _fill_template, parse_template
+    from clp_spark.search.executor import _load_index
+    from clp_spark.search.wildcard import wildcard_match
+
+    cq = compile_query(pattern, ignore_case, substring=False)
+    if cq.match_all:
+        return _exists_pred(cnodes, None)
+
+    idx = _load_index(archive.logtype_dict, archive.var_dict)
+    elem_conds: list[str] = []
+    for tp in cq.tokens:
+        c = _clps_token_cond(tp, idx, ignore_case)
+        if c is False:
+            return F.lit(False)  # some token has no feasible encoding
+        if c is not None:
+            elem_conds.append(c)
+    value_pred = " AND ".join(f"({c})" for c in elem_conds) or None
+
+    # decode-confirm: per-archive dictionaries are CLP-small by design;
+    # above the cap, per-archive federation bounds each dict (the same
+    # loud-degrade rule as _nodes_for_path's wildcard-node cap)
+    lt_map = _collect_map(
+        archive.logtype_dict,
+        _MAX_ARRAY_DICT_VALUES,
+        lambda r: (r["logtype_id"], r["logtype"]),
+    )
+    var_map = _collect_map(
+        archive.var_dict, _MAX_ARRAY_DICT_VALUES, lambda r: (r["var_id"], r["value"])
+    )
+    if lt_map is None or var_map is None:
+        raise ValueError(
+            "wildcard ClpString match needs the archive dictionaries on "
+            f"the driver (> {_MAX_ARRAY_DICT_VALUES} entries); split the "
+            "corpus into per-archive dictionaries (federation)"
+        )
+    spark = archive.encoded.sparkSession
+    b_lt = spark.sparkContext.broadcast(lt_map)
+    b_v = spark.sparkContext.broadcast(var_map)
+    nodeset = set(int(n) for n in cnodes)
+
+    def _confirm_fn(jvals):
+        import pandas as pd
+
+        lts = b_lt.value
+        vs = b_v.value
+        tcache: dict = {}
+        out = []
+        for jv in jvals:
+            ok = False
+            for x in jv:
+                if int(x["node"]) in nodeset:
+                    enc = int(x["enc"])
+                    tpl = tcache.get(enc)
+                    if tpl is None:
+                        tpl = tcache[enc] = parse_template(lts[enc])
+                    val = _fill_template(tpl[0], tpl[1], list(x["vars"]), vs)
+                    if wildcard_match(pattern, val, ignore_case):
+                        ok = True
+                        break
+            out.append(ok)
+        return pd.Series(out)
+
+    _confirm_fn.__annotations__ = {}
+    confirm = F.pandas_udf(_confirm_fn, "boolean")
+    return _exists_pred(cnodes, value_pred) & confirm(F.col("jvals"))
+
+
 def json_predicate(
     archive: JsonArchive, path: str, op: str, value=None,
     ignore_case: bool = False,
@@ -566,6 +712,16 @@ def json_predicate(
                     _exists_pred(nodes, f"array_contains(array({arr}), x.enc)")
                 )
                 all_nodes += nodes
+            # ...and ClpString nodes: the wildcard may match inside a
+            # CLP-encoded string (QueryRunner.cpp:463-516) — candidate
+            # prefilter from the compiled interpretations, then
+            # decode + wildcard-confirm
+            cnodes = _nodes_for_path(archive, path, {NODE_CLPSTR})
+            if cnodes:
+                preds.append(
+                    _clpstr_wildcard_pred(archive, cnodes, value, ignore_case)
+                )
+                all_nodes += cnodes
         elif " " in value:
             lt, vs, vt, ev = parse_one(value)
             if ignore_case:

@@ -121,7 +121,12 @@ def compile_condition(path: str, op: str, value, ignore_case: bool):
     def walk(v, i: int) -> bool:
         if i == n:
             if op == "exists":
-                return True
+                # Object (interior / empty-object) nodes are not a
+                # matchable column type in the reference — its
+                # node_to_literal_type has no ObjectT (SchemaTree.cpp:
+                # 12-14 TODO), so `obj: *` resolves to nothing. Match
+                # that: EXISTS needs a non-object terminal.
+                return not isinstance(v, dict)
             if isinstance(v, list) and not wild:
                 # full path lands on an array: leaf elements match
                 # (QueryRunner.cpp evaluate_array_filter with no tokens)

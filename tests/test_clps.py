@@ -72,6 +72,25 @@ def test_string_eq_varstring_and_clpstring(archive):
     assert _ids(json_filter(archive, "level", "eq", "FATAL")) == []
 
 
+def test_string_wildcard_clpstring(archive):
+    """Wildcard values match inside CLP-encoded strings
+    (QueryRunner.cpp:463-516 evaluate_clp_string_filter): compiled
+    logtype/var candidate prefilter + decode-confirm."""
+    assert _ids(json_filter(archive, "msg", "eq", "request*")) == [0, 5]
+    assert _ids(json_filter(archive, "msg", "eq", "*2.5*")) == [1]
+    assert _ids(json_filter(archive, "msg", "eq", "*35 ms")) == [0, 5]
+    assert _ids(json_filter(archive, "msg", "eq", "request?handled*")) == [0, 5]
+    # case-sensitivity honored; -i folds
+    assert _ids(json_filter(archive, "msg", "eq", "*HANDLED*")) == []
+    assert _ids(
+        json_filter(archive, "msg", "eq", "*HANDLED*", ignore_case=True)
+    ) == [0, 5]
+    # "*" value: every row with a ClpString at the path
+    assert _ids(json_filter(archive, "msg", "eq", "*")) == [0, 1, 2, 5]
+    # wildcard miss in every dictionary ⇒ empty after prefilter
+    assert _ids(json_filter(archive, "msg", "eq", "zz*qq")) == []
+
+
 def test_bool_null_float_bignum(archive):
     assert _ids(json_filter(archive, "ok", "eq", True)) == [3]
     assert _ids(json_filter(archive, "note", "eq", None)) == [3]

@@ -161,6 +161,12 @@ PARITY_QUERIES = [
     ("k >= 42", False),
     ('level: "ERROR"', False),
     ('msg: "request handled in 35 ms"', False),
+    # wildcard values match inside CLP-encoded strings on BOTH engines
+    # (QueryRunner.cpp:463-516 evaluate_clp_string_filter)
+    ('msg: "request*"', False),
+    ('msg: "*2.5*"', False),
+    ('msg: "*HANDLED*"', False),
+    ('msg: "*handled*"', True),
     ('ctx: {host: "node-3"}', False),
     ("ctx: {host: node-7 AND retries: 0}", False),
     ('nested: {deep: {x: "y z"}}', False),
@@ -168,6 +174,10 @@ PARITY_QUERIES = [
     ("level: (not INFO ERROR)", False),
     ("k: (42 99)", False),
     ("NOT level: INFO AND k > 0", False),
+    # exists on an interior OBJECT path matches nothing — the reference
+    # has no ObjectT literal type (SchemaTree.cpp:12-14 TODO), so both
+    # engines must agree on the empty result
+    ("ctx: *", False),
     ("ctx.retries: *", False),
     ("flags: 2", False),
     ("flags > 2", False),
@@ -219,21 +229,6 @@ def test_stream_kql_matches_archive_kql(parity_archive, parity_events, query, ic
     pred = parse_kql_ir(query, ignore_case=icase)
     stream_ids = sorted(ev["auto"]["rid"] for ev in parity_events if pred(ev))
     assert stream_ids == arch_ids, query
-
-
-def test_stream_kql_wildcard_clpstring_and_object_exists(parity_events):
-    """Reference semantics the stream engine covers: wildcard values
-    match inside CLP-encoded strings, and EXISTS matches interior
-    object columns (clp_s evaluates both; test-clp_s-search.cpp's
-    wildcard message queries)."""
-    cases = [
-        ('msg: "request*"', [0, 5]),
-        ('msg: "*2.5*"', [1]),
-        ("ctx: *", [1, 4]),
-    ]
-    for q, want in cases:
-        pred = parse_kql_ir(q)
-        assert [ev["auto"]["rid"] for ev in parity_events if pred(ev)] == want, q
 
 
 def test_stream_kql_autogen_namespace(parity_events):

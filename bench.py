@@ -170,6 +170,13 @@ def main() -> None:
     ).mode("overwrite").save()
     curation_minhash_sec = round(time.time() - t0, 3)
 
+    # ---- KV IR streams (REPORTED SEPARATELY — headline accounting
+    # unchanged): serialize events to the v0.1.0 wire format once,
+    # then search the streams directly (kv_ir_search analog) ----
+    t0 = time.time()
+    ir_streams_rows = queries["ir_kv_search"](spark, sf_dir).count()
+    ir_search_sec = round(time.time() - t0, 3)
+
     total = round(sum(times.values()) + pipeline_wall, 3)
     result = {
         "metric": "clp_spark headline queries + compress pipeline",
@@ -190,6 +197,7 @@ def main() -> None:
         "archive_build_sec": archive_build_sec,
         "clps_distributed": {"rows": dist_rows, "build_sec": clps_dist_sec},
         "curation_minhash_sec": curation_minhash_sec,
+        "ir_kv_search": {"hits": ir_streams_rows, "sec": ir_search_sec},
         "var_manifest_probe_sec": var_probe_sec,
         "cpus": cpus,
     }

@@ -19,6 +19,7 @@ from clp_spark.ir.codec import (
 from clp_spark.ir.kv import KvIrWriter, deserialize_kv_ir_stream
 from clp_spark.ir.search import parse_kql_ir
 from clp_spark.ir.spark import (
+    convert_log_df_to_kv_ir,
     grep_ir,
     read_kv_ir,
     search_kv_ir,
@@ -29,6 +30,7 @@ from clp_spark.ir.spark import (
 __all__ = [
     "IrStreamWriter",
     "KvIrWriter",
+    "convert_log_df_to_kv_ir",
     "decode_message",
     "deserialize_ir_stream",
     "deserialize_kv_ir_stream",

@@ -151,6 +151,81 @@ def search_kv_ir(
     return _kv_events(streams, query, ignore_case)
 
 
+_CONVERT_SCHEMA = "stream_id string, file string, n_events long, data binary"
+
+
+def convert_log_df_to_kv_ir(
+    df: DataFrame,
+    msg_col: str = "message",
+    file_col: str = "file",
+    order_col: str | None = None,
+    four_byte: bool = True,
+    events_per_stream: int = 65536,
+) -> DataFrame:
+    """Unstructured log messages → KV-IR streams, one stream (or chain
+    of size-bounded streams) per source file — the text→KV-IR converter
+    (clp_s/log_converter/LogConverter.hpp:15-34). Each message becomes
+    the record {"timestamp": <leading ts text>, "message": <rest>} with
+    the timestamp kept as TEXT so the original format survives
+    (LogSerializer.hpp:58-63, add_message), or {"message": ...} when no
+    leading timestamp parses; the source file rides in the stream's
+    user-defined metadata (cOriginalFileMetadataKey).
+
+    Files are co-located per task via a hash repartition on `file_col`
+    (pass `order_col` to restore message order within each file), so
+    conversion parallelism is #files — the reference's one-task-per-file
+    schedule — with no driver state."""
+    from clp_spark.functions.timestamps import match_leading_timestamp
+
+    cols = [file_col, msg_col] + ([order_col] if order_col else [])
+    sel = df.select(*cols).repartition(F.col(file_col))
+    if order_col:
+        sel = sel.sortWithinPartitions(file_col, order_col)
+
+    def conv(batches):
+        writer = None
+        cur_file = None
+        count = 0
+        seq = 0
+
+        def flush():
+            nonlocal writer, count, seq
+            out = pd.DataFrame(
+                {
+                    "stream_id": [_stream_id(seq)],
+                    "file": [cur_file],
+                    "n_events": [count],
+                    "data": [writer.finish()],
+                }
+            )
+            writer = None
+            count = 0
+            seq += 1
+            return out
+
+        for pdf in batches:
+            for f, msg in zip(pdf[file_col], pdf[msg_col]):
+                if writer is not None and (f != cur_file or count >= events_per_stream):
+                    yield flush()
+                if writer is None:
+                    cur_file = f
+                    writer = KvIrWriter(
+                        four_byte=four_byte,
+                        user_defined_metadata={"original_file": f},
+                    )
+                pid, _ts, prefix, _tz, rest = match_leading_timestamp(msg)
+                if pid is not None and prefix == "":
+                    ts_text = msg[: len(msg) - len(rest)]
+                    writer.add({"timestamp": ts_text, "message": rest}, None)
+                else:
+                    writer.add({"message": msg}, None)
+                count += 1
+        if writer is not None:
+            yield flush()
+
+    return sel.mapInPandas(conv, _CONVERT_SCHEMA)
+
+
 # -------------------------------------------------------- unstructured IR
 def serialize_ir_df(
     df: DataFrame,

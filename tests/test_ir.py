@@ -282,6 +282,51 @@ def test_search_kv_ir_matches_driver_eval(kv_streams):
     assert len(all_events) == len(RECORDS) * 3
 
 
+def test_convert_log_df_to_kv_ir(spark):
+    """text→KV-IR converter (LogConverter.hpp:15-34): one stream chain
+    per file, timestamp kept as original TEXT (LogSerializer.hpp:58-63),
+    original_file in the stream metadata, searchable with stream KQL."""
+    from clp_spark.ir import convert_log_df_to_kv_ir
+
+    rows = []
+    for i in range(20):
+        f = f"app-{i % 3}.log"
+        rows.append((f, i, f"2024-01-0{(i % 5) + 1}T12:00:0{i % 10}.000 job {i} ok"))
+    rows.append(("app-0.log", 99, "no leading timestamp here 7"))
+    df = spark.createDataFrame(rows, "file string, msg_idx long, message string")
+    streams = convert_log_df_to_kv_ir(
+        df, "message", "file", order_col="msg_idx", events_per_stream=4
+    ).persist()
+    out = streams.collect()
+    assert sum(r["n_events"] for r in out) == len(rows)
+    assert all(r["n_events"] <= 4 for r in out)
+
+    by_file: dict = {}
+    for r in out:
+        meta, events = deserialize_kv_ir_stream(bytes(r["data"]))
+        assert meta["USER_DEFINED_METADATA"] == {"original_file": r["file"]}
+        by_file.setdefault(r["file"], []).extend(events)
+    # timestamp text + message reassemble the original line byte-exactly
+    reassembled = sorted(
+        ev["user"].get("timestamp", "") + ev["user"]["message"]
+        for evs in by_file.values()
+        for ev in evs
+    )
+    assert reassembled == sorted(m for _, _, m in rows)
+    # the no-timestamp line has only a message field
+    odd = [
+        ev
+        for ev in by_file["app-0.log"]
+        if ev["user"]["message"].startswith("no leading")
+    ]
+    assert odd and "timestamp" not in odd[0]["user"]
+    # converted streams are directly searchable (kv_ir_search analog)
+    from clp_spark.ir import search_kv_ir
+
+    hits = search_kv_ir(streams, 'message: "*job 7*"').collect()
+    assert len(hits) == 1
+
+
 def test_unstructured_spark_grep_and_ts_range(spark):
     from clp_spark.ir import grep_ir, serialize_ir_df
 

@@ -91,6 +91,17 @@ def test_string_wildcard_clpstring(archive):
     assert _ids(json_filter(archive, "msg", "eq", "zz*qq")) == []
 
 
+def test_string_wildcard_clpstring_above_cap_fails_loud(archive, monkeypatch):
+    """When the dictionaries exceed the driver cap the decode-confirm
+    cannot broadcast — the degrade is a LOUD error pointing at
+    per-archive federation, never a silent miss or over-match."""
+    import clp_spark.clps.search as cs
+
+    monkeypatch.setattr(cs, "_MAX_ARRAY_DICT_VALUES", 1)
+    with pytest.raises(ValueError, match="federation"):
+        json_filter(archive, "msg", "eq", "request*")
+
+
 def test_bool_null_float_bignum(archive):
     assert _ids(json_filter(archive, "ok", "eq", True)) == [3]
     assert _ids(json_filter(archive, "note", "eq", None)) == [3]

@@ -247,6 +247,10 @@ def _events_kv_ir_streams(spark, sf):
                 )
             ).alias("json"),
         )
+        # events.parquet is a single file → a single scan partition;
+        # spread the (CPU-bound, per-partition-independent) stream
+        # serialization across the cluster first
+        j = j.repartition(spark.sparkContext.defaultParallelism)
         s = serialize_kv_ir_df(
             j, "json", auto_cols=("event_id", "ts_ms"), events_per_stream=8192
         ).persist()

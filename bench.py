@@ -172,9 +172,16 @@ def main() -> None:
 
     # ---- KV IR streams (REPORTED SEPARATELY — headline accounting
     # unchanged): serialize events to the v0.1.0 wire format once,
-    # then search the streams directly (kv_ir_search analog) ----
+    # then search the streams directly (kv_ir_search analog). First
+    # call pays the one-time stream serialization (the producer side —
+    # in production the logging library already emitted the streams);
+    # the repeat searches the persisted streams, which is the cost
+    # kv_ir_search itself pays. ----
     t0 = time.time()
     ir_streams_rows = queries["ir_kv_search"](spark, sf_dir).count()
+    ir_build_and_search_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    queries["ir_kv_search"](spark, sf_dir).count()
     ir_search_sec = round(time.time() - t0, 3)
 
     total = round(sum(times.values()) + pipeline_wall, 3)
@@ -197,7 +204,11 @@ def main() -> None:
         "archive_build_sec": archive_build_sec,
         "clps_distributed": {"rows": dist_rows, "build_sec": clps_dist_sec},
         "curation_minhash_sec": curation_minhash_sec,
-        "ir_kv_search": {"hits": ir_streams_rows, "sec": ir_search_sec},
+        "ir_kv_search": {
+            "hits": ir_streams_rows,
+            "sec": ir_search_sec,
+            "serialize_and_search_sec": ir_build_and_search_sec,
+        },
         "var_manifest_probe_sec": var_probe_sec,
         "cpus": cpus,
     }

@@ -21,6 +21,23 @@ from __future__ import annotations
 import json
 
 import pandas as pd
+
+try:  # fast JSON parse for the serialize hot path; KV IR stores typed
+    # VALUES (doubles, int64s), not float source text, so orjson's
+    # value-identical parse is sound here with no canonical-bytes check
+    # (unlike clps/encoder.py, which must preserve float spellings)
+    import orjson as _orjson
+except ImportError:  # pragma: no cover
+    _orjson = None
+
+
+def _loads(s: str):
+    if _orjson is not None:
+        try:
+            return _orjson.loads(s)
+        except Exception:  # >64-bit ints, NaN literals → stdlib
+            pass
+    return json.loads(s)
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -71,7 +88,7 @@ def serialize_kv_ir_df(
             recs = pdf[json_col]
             autos = [pdf[c] for c in auto_cols]
             for i in range(len(pdf)):
-                user_kv = json.loads(recs.iloc[i])
+                user_kv = _loads(recs.iloc[i])
                 auto_kv = {c: _py(col.iloc[i]) for c, col in zip(auto_cols, autos)}
                 writer.add(user_kv, auto_kv or None)
                 count += 1

@@ -38,7 +38,7 @@ from clp_spark.textops.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from clp_spark.textops.similarity import brute_force_topk, lsh_bucketed_topk
+from clp_spark.textops.similarity import brute_force_topk, ivf_topk, lsh_bucketed_topk
 from clp_spark.textops.stats import (
     fingerprint,
     lang_id,
@@ -1050,8 +1050,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.filter(F.col("vec_id") != 0), list(qv), k=10, num_planes=6
         )
 
+    def ann_ivf_topk(spark, sf):
+        # IVF-flat variant: deterministic md5-ranked centroids, map-side
+        # argmax cell assignment (no shuffle), nprobe cell-pruned scan —
+        # the partition-prunable ANN index shape
+        emb = _read(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return ivf_topk(
+            emb.filter(F.col("vec_id") != 0), list(qv), k=10, n_cells=8, nprobe=3
+        )
+
     q["ann_topk"] = ann_topk
     q["ann_lsh_topk"] = ann_lsh_topk
+    q["ann_ivf_topk"] = ann_ivf_topk
 
     # ---- text analysis ----
     def text_token_counts(spark, sf):
@@ -1790,6 +1801,27 @@ GROUP BY d.doc_id
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             WHERE e.vec_id != 0
             ORDER BY dot DESC, e.vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_topk": f"""
+            WITH e AS (SELECT vec_id, {_QUANT.format(v='embedding')} AS qv
+                       FROM embeddings),
+            cent AS (SELECT vec_id AS cid, qv AS cqv
+                     FROM e WHERE vec_id != 0
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+            q AS (SELECT qv AS qqv FROM e WHERE vec_id = 0),
+            qc AS (SELECT c.cid FROM cent c, q
+                   ORDER BY CAST(list_dot_product(c.cqv, q.qqv) AS BIGINT) DESC,
+                            c.cid ASC LIMIT 3),
+            a AS (SELECT v.vec_id, v.qv,
+                    (SELECT c.cid FROM cent c
+                     ORDER BY CAST(list_dot_product(v.qv, c.cqv) AS BIGINT) DESC,
+                              c.cid ASC LIMIT 1) AS cell
+                  FROM e v WHERE v.vec_id != 0)
+            SELECT a.vec_id,
+                   CAST(list_dot_product(a.qv, q.qqv) AS BIGINT) AS dot
+            FROM a, q
+            WHERE a.cell IN (SELECT cid FROM qc)
+            ORDER BY dot DESC, a.vec_id ASC LIMIT 10
         """,
         "text_token_counts": f"""
             SELECT doc_id AS id,

@@ -30,7 +30,12 @@ from clp_spark.textops.sampling import (
 )
 from clp_spark.textops.curate import curate_corpus
 from clp_spark.textops.scrub import redact_pii
-from clp_spark.textops.similarity import brute_force_topk, lsh_bucketed_topk, quantized_dot
+from clp_spark.textops.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+    quantized_dot,
+)
 from clp_spark.textops.stats import (
     fingerprint,
     lang_id,
@@ -52,6 +57,7 @@ __all__ = [
     "exact_dedup",
     "fingerprint",
     "lang_id",
+    "ivf_topk",
     "lsh_bucketed_topk",
     "minhash_lsh_pairs",
     "minhash_signatures",

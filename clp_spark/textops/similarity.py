@@ -111,3 +111,91 @@ def lsh_bucketed_topk(
         .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def _lit_float_array(vec) -> str:
+    return "array(" + ",".join(f"cast({float(x)} as float)" for x in vec) + ")"
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF coarse quantizer: the `n_cells` dataset vectors
+    ranked first by md5(id-as-string) — a seedless pseudo-random sample
+    that any engine reproduces bit-exactly (no RNG, no kmeans iterations,
+    so the index build stays a single pass and the oracle stays pure
+    SQL). Returned sorted by id so argmax tie-breaks are well-defined.
+
+    Centroids are a broadcast-sized object by construction (n_cells is
+    an index parameter, not data-dependent): collecting them to the
+    driver is the standard IVF shape at any data scale."""
+    rows = (
+        emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_cells)
+        .collect()
+    )
+    return sorted((int(r["cid"]), list(r["cv"])) for r in rows)
+
+
+def ivf_cell_expr(
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    scale: int = 1000,
+) -> str:
+    """SQL expr: the centroid id whose quantized dot product with
+    `vec_col` is largest (ties → smallest centroid id, since the array
+    is ordered by id and array_position takes the first max). A pure
+    map-side expression — assignment shuffles nothing; written as a
+    partition/bucket column at ingest it makes every probe a
+    partition-pruned read (the IVF analog of lsh_bucket_expr)."""
+    dots = ",".join(quantized_dot(vec_col, _lit_float_array(v), scale) for _, v in centroids)
+    cids = ",".join(str(c) for c, _ in centroids)
+    return (
+        f"element_at(array({cids}), "
+        f"cast(array_position(array({dots}), array_max(array({dots}))) as int))"
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-flat ANN top-k: assign every vector to its nearest of
+    `n_cells` deterministic centroids, scan only the `nprobe` cells
+    nearest the query, exact quantized dot product inside them
+    (scans ~nprobe/n_cells of the data; recall tunable via nprobe)."""
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+
+    # query → probe cells, computed exactly like the SQL side: same
+    # floor(x*scale+0.5) quantization, ties to the smaller centroid id
+    import math
+
+    qq = [math.floor(float(x) * scale + 0.5) for x in query_vec]
+    scored = []
+    for cid, cv in cents:
+        cq = [math.floor(float(x) * scale + 0.5) for x in cv]
+        scored.append((-sum(a * b for a, b in zip(qq, cq)), cid))
+    probe = [cid for _, cid in sorted(scored)[:nprobe]]
+
+    cell = ivf_cell_expr(vec_col, cents, scale)
+    qlit = _lit_float_array(query_vec)
+    return (
+        emb.withColumn("_cell", F.expr(cell))
+        .filter(F.col("_cell").isin(probe))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.expr(quantized_dot(vec_col, qlit, scale)).alias("dot"),
+        )
+        .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -14,7 +14,12 @@ from clp_spark.textops.dedup import (
     simhash,
     simhash_near_dup_pairs,
 )
-from clp_spark.textops.similarity import brute_force_topk, lsh_bucketed_topk
+from clp_spark.textops.similarity import (
+    brute_force_topk,
+    ivf_centroids,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from clp_spark.textops.stats import fingerprint, token_counts
 
 SF = "/root/testdata/sf0.001"
@@ -165,6 +170,39 @@ def test_ann_lsh_dots_exact_and_recall(emb):
         assert all_dots[r["vec_id"]] == r["dot"]
     # recall: at least 3 of true top-10 in the probed buckets
     assert len({r["vec_id"] for r in lsh} & set(bf_dots)) >= 3
+
+
+def test_ann_ivf_matches_python_recompute(emb):
+    # the Spark plan (md5-ranked centroids -> map-side argmax cell ->
+    # nprobe-pruned exact scan) must equal a from-scratch integer
+    # recomputation of the same IVF semantics
+    import math
+
+    qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    rest = emb.filter(F.col("vec_id") != 0)
+    got = [(r["vec_id"], r["dot"]) for r in ivf_topk(rest, qv, k=10, n_cells=8, nprobe=3).collect()]
+
+    def quant(v):
+        return [math.floor(float(x) * 1000 + 0.5) for x in v]
+
+    data = {r["vec_id"]: quant(r["embedding"]) for r in rest.collect()}
+    cents = [(c, quant(v)) for c, v in ivf_centroids(rest, 8)]
+    qq = quant(qv)
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    probe = [c for _, c in sorted((-dot(qq, cv), c) for c, cv in cents)[:3]]
+    expected = []
+    for vid, v in data.items():
+        cell = min((-dot(v, cv), c) for c, cv in cents)[1]
+        if cell in probe:
+            expected.append((-dot(v, qq), vid))
+    expected = [(vid, -nd) for nd, vid in sorted(expected)[:10]]
+    assert got == expected
+    # recall sanity: the pruned scan still finds true neighbors
+    bf = {r["vec_id"] for r in brute_force_topk(rest, qv, k=10).collect()}
+    assert len({vid for vid, _ in got} & bf) >= 3
 
 
 def test_fingerprint_order_sensitive(spark):

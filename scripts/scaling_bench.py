@@ -524,8 +524,22 @@ where the stage-weighted efficiency approaches the parse/encode bound.
 Generated by `python scripts/scaling_bench.py`; re-run to reproduce
 (env: CLP_SCALE_PAGES, CLP_SCALE_N, CLP_SCALE_REPEATS).
 """
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md"), "w") as f:
-        f.write(md)
+    bench_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md"
+    )
+    # Preserve hand-written sections appended after the generated block
+    # (anything following the "(env: ...)" reproduce line) — a re-run
+    # must not clobber the variance / verification notes.
+    tail = ""
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            old = f.read()
+        marker = "CLP_SCALE_N, CLP_SCALE_REPEATS).\n"
+        idx = old.find(marker)
+        if idx >= 0:
+            tail = old[idx + len(marker):]
+    with open(bench_path, "w") as f:
+        f.write(md + tail)
 
 
 if __name__ == "__main__":

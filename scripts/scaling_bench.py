@@ -48,6 +48,9 @@ def run_once(cores: int, pages_path: str, n_docs: int) -> dict:
             # input table's own file/row-group layout does this
             "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
             "spark.sql.files.openCostInBytes": str(512 * 1024),
+            # shuffle/spill dirs follow TMPDIR (default /tmp, Spark's
+            # own default) so a tmpfs run moves ALL job I/O together
+            "spark.local.dir": tempfile.gettempdir(),
         },
     )
     # warm up JVM + python workers so fixed startup cost isn't measured

@@ -750,6 +750,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assert searched == [dirs[0]], searched
         return df.select("event_id")
 
+    def clp_sql_over_archives(spark, sf):
+        # Presto-connector analog (guides-using-presto.md:1-16): typed
+        # Spark SQL over two saved archives with DIFFERENT schemas —
+        # table schema derived from each archive's schema tree
+        # (IndexManager.hpp:14-27, metadata only), records parsed
+        # lazily in the scan, schemas unioned by name (missing fields
+        # read null), arbitrary SQL on top
+        from clp_spark.clps.sqlview import sql_over_archives
+
+        dirs = _events_fed_dirs(spark, sf)
+        df, searched = sql_over_archives(
+            spark,
+            dirs,
+            "SELECT type, count(*) AS n, sum(uid) AS sum_uid, "
+            "sum(amount) AS sum_amount FROM clp GROUP BY type",
+        )
+        assert searched == dirs, searched
+        return df
+
     def clp_ts_ingest_roundtrip(spark, sf):
         # per-message timestamp parse at ingest + byte-exact regen at
         # decode (36-pattern table; oracle compares the raw line)
@@ -819,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clp_kql_list_nested"] = clp_kql_list_nested
     q["clp_kql_bare_value"] = clp_kql_bare_value
     q["clp_kql_federated"] = clp_kql_federated
+    q["clp_sql_over_archives"] = clp_sql_over_archives
     q["clp_json_array_filter"] = clp_json_array_filter
     q["clp_ts_ingest_roundtrip"] = clp_ts_ingest_roundtrip
     q["clp_ts_ingest_range_count"] = clp_ts_ingest_range_count
@@ -1429,6 +1449,13 @@ def oracle_sql() -> dict[str, str]:
         "clp_kql_federated": """
             SELECT event_id FROM events
             WHERE user_id % 2 = 0 AND user_id > 40
+        """,
+        "clp_sql_over_archives": """
+            SELECT event_type AS type, count(*) AS n,
+                   sum(CASE WHEN user_id % 2 = 0 THEN user_id END) AS sum_uid,
+                   sum(CASE WHEN user_id % 2 = 1 THEN user_id * 2 END)
+                       AS sum_amount
+            FROM events GROUP BY event_type
         """,
         "clp_ts_ingest_roundtrip": """
             SELECT event_id,

@@ -20,6 +20,12 @@ from clp_spark.clps.index import (
 )
 from clp_spark.clps.kql import kql_count, kql_count_by_time, kql_query
 from clp_spark.clps.search import json_filter, json_predicate, schema_candidates
+from clp_spark.clps.sqlview import (
+    archive_sql_schema,
+    archive_table,
+    register_archive_sql,
+    sql_over_archives,
+)
 
 __all__ = [
     "NODE_ARRAY",
@@ -31,8 +37,12 @@ __all__ = [
     "NODE_NULL",
     "NODE_VARSTR",
     "JsonArchive",
+    "archive_sql_schema",
+    "archive_table",
     "encode_json_df",
     "reconstruct_json_df",
+    "register_archive_sql",
+    "sql_over_archives",
     "json_filter",
     "json_predicate",
     "kql_count",

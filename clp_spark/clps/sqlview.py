@@ -35,13 +35,17 @@ so values are never silently nulled by the parse:
 Paths containing '.' in a single key are indistinguishable from
 nesting (same convention as the KQL path grammar).
 
-Scale note: the scan reconstructs the FULL record per row before
-from_json projects the queried columns (the reference's connector
-scans whole records too — its pruning wins come from the metadata
-index, which step 3 reproduces). For selective predicates prefer the
-KQL path (`kql_query`/`search_archives_kql`), which pushes dictionary
-and schema pruning below the decode; this view is the ad-hoc
-analytics surface.
+Scale note: by default the scan reconstructs the FULL record per row
+before from_json projects the queried columns. Catalyst cannot push a
+projection through the reconstruct's mapInPandas, so `columns=` does
+it at the archive layer instead: the encoded leaf arrays are filtered
+to the requested top-level fields (one JVM-side `filter(jvals, ...)`
+against a broadcast keep-set — no shuffle, no Python) BEFORE the
+decode, so a two-column aggregate never pays to rebuild whole
+records. For selective predicates prefer the KQL path
+(`kql_query`/`search_archives_kql`), which also pushes dictionary and
+schema pruning below the decode; this view is the ad-hoc analytics
+surface.
 """
 
 from __future__ import annotations
@@ -160,13 +164,70 @@ def archive_sql_schema(archive: JsonArchive) -> StructType:
     return build(tree)
 
 
-def archive_table(spark, archive: JsonArchive, json_col: str = "__json") -> DataFrame:
+# projection pushdown pays when the kept leaf set is a genuine subset
+# and small enough that the per-leaf array_contains probe stays cheap
+_MAX_PROJECT_IDS = 20_000
+
+
+def _project_encoded(archive: JsonArchive, columns: set) -> JsonArchive:
+    """Filter the encoded leaf arrays to nodes whose top-level field is
+    requested — the projection-pushdown step Catalyst cannot perform
+    through the reconstruct's mapInPandas barrier. Pure column algebra
+    over the existing partitioning (broadcast keep-set + higher-order
+    `filter`): no shuffle, no Python, deterministic at any parallelism.
+    Leaf order is preserved and whole marker groups share their array's
+    top-level segment, so structurized-array framing stays balanced.
+    Skipped (full reconstruct, still exact) when nothing would be
+    dropped or the keep-set exceeds the probe-cost cap."""
+    rows = (
+        archive.tree.select("node_id", "path")
+        .limit(_MAX_TREE_NODES + 1)
+        .collect()
+    )
+    if len(rows) > _MAX_TREE_NODES:
+        return archive
+    keep = [r["node_id"] for r in rows if r["path"].split(".")[0] in columns]
+    if len(keep) >= len(rows) or len(keep) > _MAX_PROJECT_IDS:
+        return archive
+    spark = archive.encoded.sparkSession
+    kdf = spark.createDataFrame([(keep,)], "__keep array<bigint>")
+    enc = (
+        archive.encoded.crossJoin(F.broadcast(kdf))
+        .withColumn(
+            "jvals",
+            F.filter("jvals", lambda x: F.array_contains("__keep", x["node"])),
+        )
+        .drop("__keep")
+    )
+    return JsonArchive(
+        enc,
+        archive.tree,
+        archive.schema_map,
+        archive.logtype_dict,
+        archive.var_dict,
+        archive.node_map,
+        archive.schema_ids,
+        range_index=archive.range_index,
+        range_index_idx_col=archive.range_index_idx_col,
+    )
+
+
+def archive_table(
+    spark, archive: JsonArchive, json_col: str = "__json", columns=None
+) -> DataFrame:
     """One archive as a typed DataFrame: passthrough columns + the
     tree-derived record columns. The reconstruct + parse ride inside
-    the scan projection (mapInPandas + from_json), so a query that
-    aggregates two columns never materializes whole records anywhere."""
-    rec = reconstruct_json_df(archive, json_col)
+    the scan projection (mapInPandas + from_json). With `columns`, the
+    record fields are restricted to those top-level names and the
+    encoded leaves are pruned BEFORE the decode (see
+    `_project_encoded`) — rows stay present (count semantics) even
+    when none of their fields survive."""
     schema = archive_sql_schema(archive)
+    if columns is not None:
+        want = set(columns)
+        schema = StructType([f for f in schema.fields if f.name in want])
+        archive = _project_encoded(archive, want)
+    rec = reconstruct_json_df(archive, json_col)
     passthrough = [
         c
         for c in rec.columns
@@ -182,6 +243,7 @@ def register_archive_sql(
     archive_dirs: list[str],
     view: str = "clp",
     where_fields=None,
+    columns=None,
 ) -> list[str]:
     """Register a temp view over one or more archives and return the
     list of archive dirs actually loaded.
@@ -190,6 +252,10 @@ def register_archive_sql(
     row (the SQL analog of `index.required_paths`) — archives whose
     column index cannot host one of them are pruned without being
     loaded, exactly the reference connector's metadata-pruning step.
+    `columns`: top-level record fields the view needs — projection is
+    pushed below the record decode (`_project_encoded`), the SQL-side
+    analog of a Presto connector's column handle list.
+
     Archives with differing schemas union by name; fields an archive
     lacks read as null there."""
     from clp_spark.clps.index import _read_indexes, archive_may_match
@@ -200,7 +266,8 @@ def register_archive_sql(
         idx = _read_indexes(spark, searched)
         searched = [d for d in searched if archive_may_match(idx[d], req)]
     frames = [
-        archive_table(spark, JsonArchive.load(spark, d)) for d in searched
+        archive_table(spark, JsonArchive.load(spark, d), columns=columns)
+        for d in searched
     ]
     if not frames:
         raise ValueError("every archive was pruned; nothing to register")
@@ -217,11 +284,13 @@ def sql_over_archives(
     sql: str,
     view: str = "clp",
     where_fields=None,
+    columns=None,
 ) -> tuple[DataFrame, list[str]]:
     """Run one SQL statement over the (index-pruned) archive fleet;
     returns (result DataFrame, archive dirs loaded)."""
     searched = register_archive_sql(
-        spark, archive_dirs, view=view, where_fields=where_fields
+        spark, archive_dirs, view=view, where_fields=where_fields,
+        columns=columns,
     )
     return spark.sql(sql), searched
 

@@ -150,6 +150,53 @@ def test_index_prunes_archives_and_unions_schemas(spark, tmp_path):
         register_archive_sql(spark, [da, db], where_fields=["no_such_field"])
 
 
+def test_projection_pushdown_matches_full_view(spark, arch):
+    full = {
+        r["id"]: (r["svc"], r["code"])
+        for r in archive_table(spark, arch).collect()
+    }
+    proj_df = archive_table(spark, arch, columns=["svc", "code"])
+    assert sorted(proj_df.columns) == ["code", "id", "svc"]
+    proj = {r["id"]: (r["svc"], r["code"]) for r in proj_df.collect()}
+    assert proj == full
+
+
+def test_projection_prunes_leaves_before_decode(spark, arch):
+    from pyspark.sql import functions as F
+
+    from clp_spark.clps.sqlview import _project_encoded
+
+    pruned = _project_encoded(arch, {"code"})
+    n_full = arch.encoded.select(
+        F.sum(F.size("jvals")).alias("s")
+    ).collect()[0]["s"]
+    n_kept = pruned.encoded.select(
+        F.sum(F.size("jvals")).alias("s")
+    ).collect()[0]["s"]
+    assert n_kept == len(DOCS)  # exactly one 'code' leaf per record
+    assert n_kept < n_full
+    # no shuffle introduced: the filter is column algebra + a broadcast
+    plan = pruned.encoded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_projection_keeps_rows_with_no_surviving_fields(spark):
+    arch = _archive(spark, [{"a": 1, "b": 2}, {"b": 3}])
+    df = archive_table(spark, arch, columns=["a"])
+    rows = {r["id"]: r["a"] for r in df.collect()}
+    assert rows == {0: 1, 1: None}  # row 1 survives with null
+
+
+def test_projection_structurized_array_stays_balanced(spark):
+    df = spark.createDataFrame(
+        [(0, json.dumps({"objs": [{"n": 1}, {"n": 2}], "k": 3, "z": "s"}))],
+        "id long, j string",
+    )
+    arch = encode_json_df(df, "j", passthrough=["id"], structurize_arrays=True)
+    row = archive_table(spark, arch, columns=["objs"]).collect()[0]
+    assert json.loads(row["objs"]) == [{"n": 1}, {"n": 2}]
+
+
 def test_view_plan_has_no_cartesian_or_collect(spark, arch, tmp_path):
     d = str(tmp_path / "arch")
     arch.save(d)

@@ -750,6 +750,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assert searched == [dirs[0]], searched
         return df.select("event_id")
 
+    def mcp_search_page(spark, sf):
+        # MCP tool-surface analog (clp-mcp-server/server.py:111-166):
+        # instruction-gated KQL search over a saved archive, entries
+        # formatted + ordered newest-first by an ENGINE-side top-k,
+        # capped at 1000 cached results, paged at 10/page — this
+        # returns the second page
+        from clp_spark.toolserver import LogToolServer
+
+        key = ("mcp_dirs", id(spark), sf)
+        if key not in _CORPUS_CACHE:
+            import tempfile
+
+            from clp_spark.clps import encode_json_df
+
+            ev = _read(spark, sf, "events")
+            j = ev.select(
+                "event_id",
+                F.expr("unix_millis(cast(ts as timestamp))").alias("ts_ms"),
+                F.to_json(
+                    F.struct(
+                        F.col("event_type").alias("type"),
+                        F.col("user_id").alias("uid"),
+                    )
+                ).alias("json"),
+            )
+            arch = encode_json_df(j, "json", passthrough=["event_id", "ts_ms"])
+            d = os.path.join(tempfile.mkdtemp(prefix="clp_mcp_"), "ev")
+            arch.save(d)
+            _CORPUS_CACHE[key] = [d]
+
+        srv = LogToolServer(
+            spark, _CORPUS_CACHE[key], ts_col="ts_ms", link_cols=("event_id",)
+        )
+        srv.get_instructions("s")
+        page0 = srv.search_by_kql("s", 'type: "click"')
+        assert page0.get("truncated") is True, page0.get("num_total_items")
+        assert page0["num_total_items"] == 1000
+        page = srv.get_nth_page("s", 1)
+        return spark.createDataFrame(
+            [(e,) for e in page["items"]], "entry string"
+        )
+
     def clp_sql_over_archives(spark, sf):
         # Presto-connector analog (guides-using-presto.md:1-16): typed
         # Spark SQL over two saved archives with DIFFERENT schemas —
@@ -839,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clp_kql_bare_value"] = clp_kql_bare_value
     q["clp_kql_federated"] = clp_kql_federated
     q["clp_sql_over_archives"] = clp_sql_over_archives
+    q["mcp_search_page"] = mcp_search_page
     q["clp_json_array_filter"] = clp_json_array_filter
     q["clp_ts_ingest_roundtrip"] = clp_ts_ingest_roundtrip
     q["clp_ts_ingest_range_count"] = clp_ts_ingest_range_count
@@ -1449,6 +1492,19 @@ def oracle_sql() -> dict[str, str]:
         "clp_kql_federated": """
             SELECT event_id FROM events
             WHERE user_id % 2 = 0 AND user_id > 40
+        """,
+        "mcp_search_page": """
+            WITH e AS (
+              SELECT epoch_ms(ts) AS ts_ms,
+                     'timestamp: ' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%g')
+                     || 'Z, message: {"type":"' || event_type
+                     || '","uid":' || user_id
+                     || '}, link: clp://ev/' || event_id AS entry
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT entry FROM e
+            ORDER BY ts_ms DESC, entry ASC
+            LIMIT 10 OFFSET 10
         """,
         "clp_sql_over_archives": """
             SELECT event_type AS type, count(*) AS n,

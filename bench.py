@@ -184,6 +184,14 @@ def main() -> None:
     queries["ir_kv_search"](spark, sf_dir).count()
     ir_search_sec = round(time.time() - t0, 3)
 
+    # SQL view over archives (Presto-connector analog), separately
+    # reported: first call builds+saves the archive fixture, second
+    # measures the warm query (typed view + projection pushdown)
+    queries["clp_sql_over_archives"](spark, sf_dir).count()
+    t0 = time.time()
+    sql_view_rows = queries["clp_sql_over_archives"](spark, sf_dir).count()
+    sql_view_sec = round(time.time() - t0, 3)
+
     total = round(sum(times.values()) + pipeline_wall, 3)
     result = {
         "metric": "clp_spark headline queries + compress pipeline",
@@ -209,6 +217,7 @@ def main() -> None:
             "sec": ir_search_sec,
             "serialize_and_search_sec": ir_build_and_search_sec,
         },
+        "sql_view": {"rows": sql_view_rows, "warm_sec": sql_view_sec},
         "var_manifest_probe_sec": var_probe_sec,
         "cpus": cpus,
     }

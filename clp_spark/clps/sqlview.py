@@ -260,17 +260,22 @@ def register_archive_sql(
     lacks read as null there."""
     from clp_spark.clps.index import _read_indexes, archive_may_match
 
+    from concurrent.futures import ThreadPoolExecutor
+
     searched = list(archive_dirs)
     if where_fields:
         req = frozenset(where_fields)
         idx = _read_indexes(spark, searched)
         searched = [d for d in searched if archive_may_match(idx[d], req)]
-    frames = [
-        archive_table(spark, JsonArchive.load(spark, d), columns=columns)
-        for d in searched
-    ]
-    if not frames:
+    if not searched:
         raise ValueError("every archive was pruned; nothing to register")
+    # archive loads collect dictionaries on the driver — overlap them
+    # (same pattern as index.py's federated search)
+    with ThreadPoolExecutor(max_workers=min(8, len(searched))) as pool:
+        archs = list(pool.map(lambda d: JsonArchive.load(spark, d), searched))
+    frames = [
+        archive_table(spark, a, columns=columns) for a in archs
+    ]
     df = frames[0]
     for f in frames[1:]:
         df = df.unionByName(f, allowMissingColumns=True)

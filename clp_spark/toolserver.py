@@ -245,13 +245,21 @@ class LogToolServer:
             required_paths,
         )
 
+        from concurrent.futures import ThreadPoolExecutor
+
         req = required_paths(kql)
         idx = _read_indexes(self._spark, self._dirs)
+        searched = [d for d in self._dirs if archive_may_match(idx[d], req)]
+        if not searched:
+            return [], False
+        # overlap the driver-side dictionary loads across archives
+        # (same pattern as index.py's federated search)
+        with ThreadPoolExecutor(max_workers=min(8, len(searched))) as pool:
+            archs = list(
+                pool.map(lambda d: JsonArchive.load(self._spark, d), searched)
+            )
         out = None
-        for d in self._dirs:
-            if not archive_may_match(idx[d], req):
-                continue
-            arch = JsonArchive.load(self._spark, d)
+        for d, arch in zip(searched, archs):
             part = self._entry_df(
                 arch, os.path.basename(os.path.normpath(d)), kql, ts_range
             )

@@ -785,8 +785,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         srv.get_instructions("s")
         page0 = srv.search_by_kql("s", 'type: "click"')
-        assert page0.get("truncated") is True, page0.get("num_total_items")
-        assert page0["num_total_items"] == 1000
+        # the 1000-entry cached-results cap only engages once the corpus
+        # has >1000 matches (sf >= 0.01); smaller SFs fit uncapped
+        if page0.get("truncated"):
+            assert page0["num_total_items"] == 1000
+        assert page0["num_total_items"] >= 20, page0["num_total_items"]
         page = srv.get_nth_page("s", 1)
         return spark.createDataFrame(
             [(e,) for e in page["items"]], "entry string"

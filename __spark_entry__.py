@@ -1126,9 +1126,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.filter(F.col("vec_id") != 0), list(qv), k=10, n_cells=8, nprobe=3
         )
 
+    def ann_ivf_pruned(spark, sf):
+        # the MATERIALIZED IVF index: cell-partitioned parquet written
+        # once per (session, sf), probe reads only the nprobe cell
+        # directories (PartitionFilters — unprobed cells are never
+        # listed). Same semantics as ann_ivf_topk, so the same oracle.
+        from clp_spark.textops.similarity import ivf_read_topk, ivf_write
+
+        key = ("ivf_index", id(spark), sf)
+        emb = _read(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        if key not in _CORPUS_CACHE:
+            import tempfile
+
+            out = tempfile.mkdtemp(prefix="clp_entry_ivf_")
+            ivf_write(emb.filter(F.col("vec_id") != 0), out, n_cells=8)
+            _CORPUS_CACHE[key] = out
+        return ivf_read_topk(spark, _CORPUS_CACHE[key], list(qv), k=10, nprobe=3)
+
     q["ann_topk"] = ann_topk
     q["ann_lsh_topk"] = ann_lsh_topk
     q["ann_ivf_topk"] = ann_ivf_topk
+    q["ann_ivf_pruned"] = ann_ivf_pruned
 
     # ---- text analysis ----
     def text_token_counts(spark, sf):
@@ -1889,6 +1908,29 @@ GROUP BY d.doc_id
             ORDER BY dot DESC, e.vec_id ASC LIMIT 10
         """,
         "ann_ivf_topk": f"""
+            WITH e AS (SELECT vec_id, {_QUANT.format(v='embedding')} AS qv
+                       FROM embeddings),
+            cent AS (SELECT vec_id AS cid, qv AS cqv
+                     FROM e WHERE vec_id != 0
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+            q AS (SELECT qv AS qqv FROM e WHERE vec_id = 0),
+            qc AS (SELECT c.cid FROM cent c, q
+                   ORDER BY CAST(list_dot_product(c.cqv, q.qqv) AS BIGINT) DESC,
+                            c.cid ASC LIMIT 3),
+            a AS (SELECT v.vec_id, v.qv,
+                    (SELECT c.cid FROM cent c
+                     ORDER BY CAST(list_dot_product(v.qv, c.cqv) AS BIGINT) DESC,
+                              c.cid ASC LIMIT 1) AS cell
+                  FROM e v WHERE v.vec_id != 0)
+            SELECT a.vec_id,
+                   CAST(list_dot_product(a.qv, q.qqv) AS BIGINT) AS dot
+            FROM a, q
+            WHERE a.cell IN (SELECT cid FROM qc)
+            ORDER BY dot DESC, a.vec_id ASC LIMIT 10
+        """,
+        # the materialized index probes the same nprobe cells with the
+        # same quantized dots, so the oracle is ann_ivf_topk's verbatim
+        "ann_ivf_pruned": f"""
             WITH e AS (SELECT vec_id, {_QUANT.format(v='embedding')} AS qv
                        FROM embeddings),
             cent AS (SELECT vec_id AS cid, qv AS cqv

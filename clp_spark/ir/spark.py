@@ -46,6 +46,12 @@ from clp_spark.ir.codec import IrStreamWriter, deserialize_ir_stream
 from clp_spark.ir.kv import KvIrWriter, deserialize_kv_ir_stream
 
 _STREAM_SCHEMA = "stream_id string, n_events long, data binary"
+# Scan outputs are flushed every this-many buffered events, so a task's
+# Python-side buffer is bounded by ~one stream's decode regardless of
+# how many stream rows Arrow packs into a batch (each input ROW is a
+# whole stream — without the bound, a 10k-row batch of 64Ki-event
+# streams would buffer ~650M decoded events before yielding).
+_SCAN_FLUSH_EVENTS = 65536
 _KV_EVENT_SCHEMA = "stream_id string, event_idx long, user string, auto string"
 _LOG_EVENT_SCHEMA = "stream_id string, event_idx long, ts_ms long, message string"
 
@@ -124,11 +130,27 @@ def _kv_events(streams: DataFrame, query: str | None, ignore_case: bool) -> Data
             from clp_spark.ir.search import parse_kql_ir
 
             pred = parse_kql_ir(query, ignore_case)
+        out_sid: list[str] = []
+        out_idx: list[int] = []
+        out_user: list[str] = []
+        out_auto: list[str] = []
+
+        def flush():
+            out = pd.DataFrame(
+                {
+                    "stream_id": out_sid,
+                    "event_idx": pd.Series(out_idx, dtype="int64"),
+                    "user": out_user,
+                    "auto": out_auto,
+                }
+            )
+            out_sid.clear()
+            out_idx.clear()
+            out_user.clear()
+            out_auto.clear()
+            return out
+
         for pdf in batches:
-            out_sid: list[str] = []
-            out_idx: list[int] = []
-            out_user: list[str] = []
-            out_auto: list[str] = []
             for sid, data in zip(pdf["stream_id"], pdf["data"]):
                 _, events = deserialize_kv_ir_stream(bytes(data))
                 for idx, ev in enumerate(events):
@@ -138,14 +160,9 @@ def _kv_events(streams: DataFrame, query: str | None, ignore_case: bool) -> Data
                     out_idx.append(idx)
                     out_user.append(json.dumps(ev["user"], separators=(",", ":")))
                     out_auto.append(json.dumps(ev["auto"], separators=(",", ":")))
-            yield pd.DataFrame(
-                {
-                    "stream_id": out_sid,
-                    "event_idx": pd.Series(out_idx, dtype="int64"),
-                    "user": out_user,
-                    "auto": out_auto,
-                }
-            )
+                if len(out_sid) >= _SCAN_FLUSH_EVENTS:
+                    yield flush()
+        yield flush()
 
     return streams.select("stream_id", "data").mapInPandas(scan, _KV_EVENT_SCHEMA)
 
@@ -310,11 +327,27 @@ def grep_ir(
     from clp_spark.search.wildcard import wildcard_match
 
     def scan(batches):
+        out_sid: list[str] = []
+        out_idx: list[int] = []
+        out_ts: list[int] = []
+        out_msg: list[str] = []
+
+        def flush():
+            out = pd.DataFrame(
+                {
+                    "stream_id": out_sid,
+                    "event_idx": pd.Series(out_idx, dtype="int64"),
+                    "ts_ms": pd.Series(out_ts, dtype="int64"),
+                    "message": out_msg,
+                }
+            )
+            out_sid.clear()
+            out_idx.clear()
+            out_ts.clear()
+            out_msg.clear()
+            return out
+
         for pdf in batches:
-            out_sid: list[str] = []
-            out_idx: list[int] = []
-            out_ts: list[int] = []
-            out_msg: list[str] = []
             for sid, data in zip(pdf["stream_id"], pdf["data"]):
                 _, events = deserialize_ir_stream(bytes(data), decode=False)
                 four_byte = bytes(data[:4]) == b"\xfd\x2f\xb5\x29"
@@ -335,13 +368,8 @@ def grep_ir(
                     out_idx.append(idx)
                     out_ts.append(ts)
                     out_msg.append(msg)
-            yield pd.DataFrame(
-                {
-                    "stream_id": out_sid,
-                    "event_idx": pd.Series(out_idx, dtype="int64"),
-                    "ts_ms": pd.Series(out_ts, dtype="int64"),
-                    "message": out_msg,
-                }
-            )
+                if len(out_sid) >= _SCAN_FLUSH_EVENTS:
+                    yield flush()
+        yield flush()
 
     return streams.select("stream_id", "data").mapInPandas(scan, _LOG_EVENT_SCHEMA)

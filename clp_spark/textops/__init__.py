@@ -32,7 +32,9 @@ from clp_spark.textops.curate import curate_corpus
 from clp_spark.textops.scrub import redact_pii
 from clp_spark.textops.similarity import (
     brute_force_topk,
+    ivf_read_topk,
     ivf_topk,
+    ivf_write,
     lsh_bucketed_topk,
     quantized_dot,
 )
@@ -57,7 +59,9 @@ __all__ = [
     "exact_dedup",
     "fingerprint",
     "lang_id",
+    "ivf_read_topk",
     "ivf_topk",
+    "ivf_write",
     "lsh_bucketed_topk",
     "minhash_lsh_pairs",
     "minhash_signatures",

@@ -160,6 +160,87 @@ def ivf_cell_expr(
     )
 
 
+def ivf_write(
+    emb: DataFrame,
+    out_dir: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index: the embedding table written
+    cell-partitioned (`cell=<centroid id>/` directories) with the
+    centroid list saved alongside, so a probe is a PARTITION-PRUNED
+    read — Spark lists only the nprobe surviving directories and never
+    opens the rest. This is the ingest-time step `ivf_cell_expr`'s
+    docstring promises; at 100 TB the probe cost is
+    ~nprobe/n_cells · data, paid in skipped IO rather than a filter.
+
+    Cell assignment is the same map-side expression the query path
+    uses, so write and probe agree bit-exactly. Returns the centroids.
+    """
+    import json as _json
+    import os as _os
+
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    cell = ivf_cell_expr(vec_col, cents, scale)
+    (
+        emb.withColumn("cell", F.expr(cell))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_dir)
+    )
+    meta = {
+        "scale": scale,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "centroids": [[c, [float(x) for x in v]] for c, v in cents],
+    }
+    with open(_os.path.join(out_dir, "_ivf_centroids.json"), "w") as fh:
+        _json.dump(meta, fh)
+    return cents
+
+
+def ivf_read_topk(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k over an `ivf_write` index: pick the `nprobe` centroids
+    nearest the query on the driver (centroid list is index metadata,
+    not data), then scan ONLY those cell partitions — the isin filter
+    lands in the scan's PartitionFilters, so unprobed cells cost
+    nothing, not even a file listing. Exact quantized dot product and
+    TakeOrderedAndProject inside the survivors."""
+    import json as _json
+    import math
+    import os as _os
+
+    with open(_os.path.join(index_dir, "_ivf_centroids.json")) as fh:
+        meta = _json.load(fh)
+    scale = meta["scale"]
+    qq = [math.floor(float(x) * scale + 0.5) for x in query_vec]
+    scored = []
+    for cid, cv in meta["centroids"]:
+        cq = [math.floor(float(x) * scale + 0.5) for x in cv]
+        scored.append((-sum(a * b for a, b in zip(qq, cq)), cid))
+    probe = [cid for _, cid in sorted(scored)[:nprobe]]
+
+    qlit = _lit_float_array(query_vec)
+    return (
+        spark.read.parquet(index_dir)
+        .filter(F.col("cell").isin(probe))
+        .select(
+            F.col(meta["id_col"]).alias("vec_id"),
+            F.expr(quantized_dot(meta["vec_col"], qlit, scale)).alias("dot"),
+        )
+        .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],

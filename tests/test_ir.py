@@ -342,3 +342,33 @@ def test_unstructured_spark_grep_and_ts_range(spark):
     assert sorted(r["message"] for r in grep_ir(streams).collect()) == sorted(
         m for _, m in rows
     )
+
+
+def test_scan_flush_bound_is_exact(spark, kv_streams, monkeypatch):
+    """The per-task output buffer flushes every _SCAN_FLUSH_EVENTS
+    buffered events (each input ROW is a whole stream, so without the
+    bound a task would buffer every decoded event of every stream in an
+    Arrow batch). A tiny bound must change batching only — results are
+    identical for both scan families."""
+    import clp_spark.ir.spark as irs
+    from clp_spark.ir import grep_ir, read_kv_ir, serialize_ir_df
+
+    baseline_kv = sorted(
+        (r["stream_id"], r["event_idx"], r["user"], r["auto"])
+        for r in read_kv_ir(kv_streams).collect()
+    )
+    rows = [(i * 1000, f"job {i} done") for i in range(30)]
+    df = spark.createDataFrame(rows, "ts_ms long, message string").repartition(2)
+    streams = serialize_ir_df(df, events_per_stream=5).persist()
+    baseline_log = sorted(
+        (r["ts_ms"], r["message"]) for r in grep_ir(streams).collect()
+    )
+
+    monkeypatch.setattr(irs, "_SCAN_FLUSH_EVENTS", 3)
+    got_kv = sorted(
+        (r["stream_id"], r["event_idx"], r["user"], r["auto"])
+        for r in read_kv_ir(kv_streams).collect()
+    )
+    got_log = sorted((r["ts_ms"], r["message"]) for r in grep_ir(streams).collect())
+    assert got_kv == baseline_kv
+    assert got_log == baseline_log

@@ -205,6 +205,31 @@ def test_ann_ivf_matches_python_recompute(emb):
     assert len({vid for vid, _ in got} & bf) >= 3
 
 
+def test_ann_ivf_write_probe_partition_pruned(emb, tmp_path):
+    # the materialized index: cell-partitioned parquet + saved
+    # centroids. A probe must (a) equal the in-memory ivf_topk answer
+    # and (b) reach the scan as PartitionFilters on `cell`, so unprobed
+    # cells are never listed, let alone read.
+    from clp_spark.textops.similarity import ivf_read_topk, ivf_write
+
+    spark = emb.sparkSession
+    qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    rest = emb.filter(F.col("vec_id") != 0)
+    idx = str(tmp_path / "ivf")
+    ivf_write(rest, idx, n_cells=8)
+
+    out = ivf_read_topk(spark, idx, qv, k=10, nprobe=3)
+    got = [(r["vec_id"], r["dot"]) for r in out.collect()]
+    want = [
+        (r["vec_id"], r["dot"])
+        for r in ivf_topk(rest, qv, k=10, n_cells=8, nprobe=3).collect()
+    ]
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
 def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta"), (2, "beta alpha")], "doc_id long, text string"

@@ -323,6 +323,7 @@ def grep_ir(
     timestamp range checked BEFORE message decode (delta-summed ts is
     available from the event frame alone), wildcard match on the
     decoded text. Returns (stream_id, event_idx, ts_ms, message)."""
+    from clp_spark.ir import protocol as P
     from clp_spark.ir.codec import decode_message
     from clp_spark.search.wildcard import wildcard_match
 
@@ -350,7 +351,7 @@ def grep_ir(
         for pdf in batches:
             for sid, data in zip(pdf["stream_id"], pdf["data"]):
                 _, events = deserialize_ir_stream(bytes(data), decode=False)
-                four_byte = bytes(data[:4]) == b"\xfd\x2f\xb5\x29"
+                four_byte = bytes(data[:4]) == P.FOUR_BYTE_MAGIC
                 for idx, ev in enumerate(events):
                     ts = ev["ts_ms"]
                     if ts_min is not None and ts < ts_min:

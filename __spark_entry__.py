@@ -1495,7 +1495,7 @@ def oracle_sql() -> dict[str, str]:
     qe = _QUANT.format(v="e.embedding")
     qq = _QUANT.format(v="q.embedding")
 
-    return {
+    o = {
         "clp_grep": "SELECT doc_id FROM documents WHERE text LIKE '%value%fast%'",
         "clp_kql_query": """
             SELECT event_id FROM events
@@ -1928,29 +1928,6 @@ GROUP BY d.doc_id
             WHERE a.cell IN (SELECT cid FROM qc)
             ORDER BY dot DESC, a.vec_id ASC LIMIT 10
         """,
-        # the materialized index probes the same nprobe cells with the
-        # same quantized dots, so the oracle is ann_ivf_topk's verbatim
-        "ann_ivf_pruned": f"""
-            WITH e AS (SELECT vec_id, {_QUANT.format(v='embedding')} AS qv
-                       FROM embeddings),
-            cent AS (SELECT vec_id AS cid, qv AS cqv
-                     FROM e WHERE vec_id != 0
-                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-            q AS (SELECT qv AS qqv FROM e WHERE vec_id = 0),
-            qc AS (SELECT c.cid FROM cent c, q
-                   ORDER BY CAST(list_dot_product(c.cqv, q.qqv) AS BIGINT) DESC,
-                            c.cid ASC LIMIT 3),
-            a AS (SELECT v.vec_id, v.qv,
-                    (SELECT c.cid FROM cent c
-                     ORDER BY CAST(list_dot_product(v.qv, c.cqv) AS BIGINT) DESC,
-                              c.cid ASC LIMIT 1) AS cell
-                  FROM e v WHERE v.vec_id != 0)
-            SELECT a.vec_id,
-                   CAST(list_dot_product(a.qv, q.qqv) AS BIGINT) AS dot
-            FROM a, q
-            WHERE a.cell IN (SELECT cid FROM qc)
-            ORDER BY dot DESC, a.vec_id ASC LIMIT 10
-        """,
         "text_token_counts": f"""
             SELECT doc_id AS id,
                    len({toks}) AS n_ws_tokens,
@@ -2029,3 +2006,8 @@ GROUP BY d.doc_id
             FROM p
         """,
     }
+    # the materialized IVF index probes the same nprobe cells with the
+    # same quantized dots as the in-memory path, so the two oracles are
+    # one string — aliased, not copied, so they cannot drift
+    o["ann_ivf_pruned"] = o["ann_ivf_topk"]
+    return o

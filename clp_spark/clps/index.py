@@ -37,6 +37,7 @@ __all__ = [
     "read_column_index",
     "required_paths",
     "archive_may_match",
+    "load_surviving_archives",
     "search_archives_kql",
 ]
 
@@ -315,6 +316,69 @@ def archive_may_match(index, req: frozenset) -> bool:
     return True
 
 
+def _archive_token(archive_dir: str) -> int:
+    """Freshness token for a saved archive: max mtime_ns across its
+    top-level entries (every JsonArchive.save rewrites them). Keys the
+    load cache so a re-saved archive is reloaded, never served stale."""
+    tok = 0
+    try:
+        with os.scandir(archive_dir) as it:
+            for e in it:
+                try:
+                    tok = max(tok, e.stat().st_mtime_ns)
+                except OSError:
+                    continue
+    except OSError:
+        pass
+    return tok
+
+
+def load_surviving_archives(
+    spark,
+    archive_dirs: list[str],
+    req=None,
+    *,
+    driver_dict_cap: int = 300_000,
+    cache: dict | None = None,
+):
+    """The shared federated-planning step: prune archives whose column
+    index cannot host the required paths (`req`, falsy ⇒ no pruning),
+    then load the survivors with driver dictionary collects overlapped
+    across archives (Spark driver actions are thread-safe). Used by
+    KQL federation (below), the SQL view, and the tool server so the
+    prune rule and load overlap live in exactly one place.
+
+    `cache`: optional {dir: (token, JsonArchive)} memo for long-lived
+    callers (the tool server) — entries are keyed on an mtime freshness
+    token, so immutable on-disk archives load once per server lifetime
+    while a re-saved archive reloads.
+
+    Returns (searched_dirs, archives), parallel lists."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    searched = list(archive_dirs)
+    if req:
+        idx_by_dir = _read_indexes(spark, searched)
+        searched = [d for d in searched if archive_may_match(idx_by_dir[d], req)]
+    if not searched:
+        return [], []
+
+    def _load(d: str) -> JsonArchive:
+        if cache is None:
+            return JsonArchive.load(spark, d, driver_dict_cap=driver_dict_cap)
+        tok = _archive_token(d)
+        hit = cache.get(d)
+        if hit is not None and hit[0] == tok:
+            return hit[1]
+        arch = JsonArchive.load(spark, d, driver_dict_cap=driver_dict_cap)
+        cache[d] = (tok, arch)
+        return arch
+
+    with ThreadPoolExecutor(max_workers=min(8, len(searched))) as pool:
+        archs = list(pool.map(_load, searched))
+    return searched, archs
+
+
 def search_archives_kql(
     spark,
     archive_dirs: list[str],
@@ -328,31 +392,16 @@ def search_archives_kql(
     matches with an `archive` provenance column. Returns
     (DataFrame | None, searched_dirs) — None when every archive was
     pruned."""
-    from concurrent.futures import ThreadPoolExecutor
-
     import pyspark.sql.functions as F
 
     from clp_spark.clps.kql import kql_query
 
-    req = required_paths(query)
-    idx_by_dir = _read_indexes(spark, archive_dirs)
-    searched = [
-        d for d in archive_dirs if archive_may_match(idx_by_dir[d], req)
-    ]
+    searched, archs = load_surviving_archives(
+        spark, archive_dirs, required_paths(query),
+        driver_dict_cap=driver_dict_cap,
+    )
     if not searched:
         return None, []
-    # archive loads collect dictionaries on the driver — overlap them
-    # across archives (same ThreadPool pattern as pipeline.py's
-    # bookkeeping; Spark driver actions are thread-safe)
-    with ThreadPoolExecutor(max_workers=min(8, len(searched))) as pool:
-        archs = list(
-            pool.map(
-                lambda d: JsonArchive.load(
-                    spark, d, driver_dict_cap=driver_dict_cap
-                ),
-                searched,
-            )
-        )
     out = None
     for d, arch in zip(searched, archs):
         part = kql_query(arch, query, ignore_case).withColumn(

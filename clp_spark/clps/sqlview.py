@@ -258,21 +258,15 @@ def register_archive_sql(
 
     Archives with differing schemas union by name; fields an archive
     lacks read as null there."""
-    from clp_spark.clps.index import _read_indexes, archive_may_match
+    from clp_spark.clps.index import load_surviving_archives
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    searched = list(archive_dirs)
-    if where_fields:
-        req = frozenset(where_fields)
-        idx = _read_indexes(spark, searched)
-        searched = [d for d in searched if archive_may_match(idx[d], req)]
+    searched, archs = load_surviving_archives(
+        spark,
+        list(archive_dirs),
+        frozenset(where_fields) if where_fields else None,
+    )
     if not searched:
         raise ValueError("every archive was pruned; nothing to register")
-    # archive loads collect dictionaries on the driver — overlap them
-    # (same pattern as index.py's federated search)
-    with ThreadPoolExecutor(max_workers=min(8, len(searched))) as pool:
-        archs = list(pool.map(lambda d: JsonArchive.load(spark, d), searched))
     frames = [
         archive_table(spark, a, columns=columns) for a in archs
     ]

@@ -297,11 +297,12 @@ def demux_avi(payload: bytes):
 
 def decode_avi_frames(payload: bytes):
     """(width, height, [flat top-down RGB arrays]) — demux + DIB-decode
-    every frame (uncompressed '00db' only; '00dc' raises)."""
+    every frame (uncompressed '##db' chunks from any stream number;
+    compressed '##dc' raises)."""
     w, h, frames = demux_avi(payload)
     out = []
     for idx, off, sz in frames:
-        if payload[off - 8 : off - 6] != b"00" or payload[off - 6 : off - 4] != b"db":
+        if payload[off - 6 : off - 4] != b"db":
             raise NotImplementedError("compressed AVI stream needs ffmpeg")
         out.append(_dib_decode(payload[off : off + sz], w, h))
     return w, h, out

@@ -213,8 +213,15 @@ def convert_log_df_to_kv_ir(
 
     cols = [file_col, msg_col] + ([order_col] if order_col else [])
     sel = df.select(*cols).repartition(F.col(file_col))
-    if order_col:
-        sel = sel.sortWithinPartitions(file_col, order_col)
+    # ALWAYS cluster by file within the task: shuffle-read order
+    # interleaves blocks from different map tasks, so without this a
+    # partition holding two files arrives as [A-block, B-block,
+    # A-block, ...] and the f != cur_file flush fragments each file
+    # into O(#upstream-partitions) tiny streams instead of one
+    # events_per_stream-bounded chain per file
+    sel = sel.sortWithinPartitions(
+        *( [file_col, order_col] if order_col else [file_col] )
+    )
 
     def conv(batches):
         writer = None

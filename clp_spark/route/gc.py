@@ -103,10 +103,29 @@ def _swap_dirs(live: str, replacement: str) -> None:
     place (never neither; the .gc_old leftover is swept on retry)."""
     old = live + ".gc_old"
     if os.path.isdir(old):
-        shutil.rmtree(old)
+        if not os.path.isdir(live):
+            # a previous swap died between its two renames: the old
+            # manifest is still intact aside — heal it back before
+            # swapping, so the "never neither" contract holds across
+            # a crash at the worst instant (the reader path in
+            # _heal_dir does the same on open)
+            os.rename(old, live)
+        else:
+            shutil.rmtree(old)
     os.rename(live, old)
     os.rename(replacement, live)
     shutil.rmtree(old)
+
+
+def _heal_dir(live: str) -> str:
+    """Reader-side self-heal: if a GC swap crashed between renames the
+    manifest lives at <live>.gc_old; rename it back so opens succeed.
+    Returns `live` for call-through convenience."""
+    if not os.path.isdir(live):
+        old = live + ".gc_old"
+        if os.path.isdir(old):
+            os.rename(old, live)
+    return live
 
 
 def expire_segments(
@@ -139,7 +158,7 @@ def expire_segments(
     """
     import pyarrow.dataset as ds
 
-    seg_dir = os.path.join(out_dir, "manifest", "segments")
+    seg_dir = _heal_dir(os.path.join(out_dir, "manifest", "segments"))
     if not os.path.isdir(seg_dir):
         raise FileNotFoundError(f"no segments manifest at {seg_dir}")
     seg = ds.dataset(seg_dir, format="parquet").to_table().to_pandas()
@@ -263,7 +282,7 @@ def expire_segments(
         return [(s, g) not in dead for s, g in zip(sink, segi)]
 
     for name in _SEG_MANIFESTS:
-        man = os.path.join(out_dir, "manifest", name)
+        man = _heal_dir(os.path.join(out_dir, "manifest", name))
         if not os.path.isdir(man):
             continue
         # segments + logtype manifests are CLP-small by design (driver-

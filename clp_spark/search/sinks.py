@@ -80,6 +80,10 @@ def _manifest_cached(spark: SparkSession, man_dir: str):
     """(lt_pairs, var_pairs, unit_cols, lt_man_df, var_man_df) for an
     archive's token manifests; the collected pair maps are None above
     the driver cap (the DataFrames then drive the distributed path)."""
+    from clp_spark.route.gc import _heal_dir
+
+    _heal_dir(os.path.join(man_dir, "logtype"))
+    _heal_dir(os.path.join(man_dir, "var"))
     key = (man_dir, _dir_token(man_dir))
     cached = _MANIFEST_CACHE.get(key)
     if cached is None:
@@ -359,6 +363,9 @@ def _ts_units_cached(
     manifest records its source in ts_src); a warc_ts zone map must not
     prune a ts_ms query. Manifests predating ts_src are treated as
     warc_ts-sourced (the historical default of segment_summary)."""
+    from clp_spark.route.gc import _heal_dir
+
+    _heal_dir(seg_dir)
     cached = _MANIFEST_CACHE.get(("segments", seg_dir, _dir_token(seg_dir)))
     if cached is None:
         seg = spark.read.parquet(seg_dir)
@@ -444,7 +451,9 @@ def surviving_unit_filter(
                     if len(rows) <= _MAX_UNIT_LITERALS:
                         units = {tuple(r[c] for c in man_cols) for r in rows}
                         unit_cols = man_cols
-    seg_dir = _os.path.join(man_dir, "segments")
+    from clp_spark.route.gc import _heal_dir
+
+    seg_dir = _heal_dir(_os.path.join(man_dir, "segments"))
     if ts_range is not None and _os.path.isdir(seg_dir):
         r = _ts_units_cached(spark, seg_dir, ts_range, ts_col)
         if r is not None:
@@ -759,7 +768,9 @@ def search_sinks(
                     )
                     unit_cols = man_cols
         ts_range = kwargs.get("ts_range")
-        seg_dir = os.path.join(man_dir, "segments")
+        from clp_spark.route.gc import _heal_dir
+
+        seg_dir = _heal_dir(os.path.join(man_dir, "segments"))
         if ts_range is not None and os.path.isdir(seg_dir):
             r = _ts_units_cached(
                 spark, seg_dir, ts_range, kwargs.get("ts_col", "warc_ts")

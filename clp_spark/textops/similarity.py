@@ -154,9 +154,14 @@ def ivf_cell_expr(
     partition-pruned read (the IVF analog of lsh_bucket_expr)."""
     dots = ",".join(quantized_dot(vec_col, _lit_float_array(v), scale) for _, v in centroids)
     cids = ",".join(str(c) for c, _ in centroids)
+    # bind the dots array ONCE via a single-element transform lambda
+    # (each centroid dot is itself an aggregate over the vector) instead
+    # of interpolating it into both array_position and array_max —
+    # halves the per-row assignment cost
     return (
+        f"element_at(transform(array(array({dots})), d -> "
         f"element_at(array({cids}), "
-        f"cast(array_position(array({dots}), array_max(array({dots}))) as int))"
+        f"cast(array_position(d, array_max(d)) as int))), 1)"
     )
 
 
@@ -201,6 +206,21 @@ def ivf_write(
     return cents
 
 
+def _probe_cells(centroids, query_vec, scale: int, nprobe: int) -> list:
+    """The `nprobe` centroid ids nearest the query, computed exactly
+    like the SQL side: same floor(x*scale+0.5) quantization, exact
+    integer dots, ties to the smaller centroid id. Shared by the
+    in-memory and materialized-index paths so they cannot drift."""
+    import math
+
+    qq = [math.floor(float(x) * scale + 0.5) for x in query_vec]
+    scored = []
+    for cid, cv in centroids:
+        cq = [math.floor(float(x) * scale + 0.5) for x in cv]
+        scored.append((-sum(a * b for a, b in zip(qq, cq)), cid))
+    return [cid for _, cid in sorted(scored)[:nprobe]]
+
+
 def ivf_read_topk(
     spark,
     index_dir: str,
@@ -215,18 +235,12 @@ def ivf_read_topk(
     nothing, not even a file listing. Exact quantized dot product and
     TakeOrderedAndProject inside the survivors."""
     import json as _json
-    import math
     import os as _os
 
     with open(_os.path.join(index_dir, "_ivf_centroids.json")) as fh:
         meta = _json.load(fh)
     scale = meta["scale"]
-    qq = [math.floor(float(x) * scale + 0.5) for x in query_vec]
-    scored = []
-    for cid, cv in meta["centroids"]:
-        cq = [math.floor(float(x) * scale + 0.5) for x in cv]
-        scored.append((-sum(a * b for a, b in zip(qq, cq)), cid))
-    probe = [cid for _, cid in sorted(scored)[:nprobe]]
+    probe = _probe_cells(meta["centroids"], query_vec, scale, nprobe)
 
     qlit = _lit_float_array(query_vec)
     return (
@@ -256,18 +270,7 @@ def ivf_topk(
     nearest the query, exact quantized dot product inside them
     (scans ~nprobe/n_cells of the data; recall tunable via nprobe)."""
     cents = ivf_centroids(emb, n_cells, id_col, vec_col)
-
-    # query → probe cells, computed exactly like the SQL side: same
-    # floor(x*scale+0.5) quantization, ties to the smaller centroid id
-    import math
-
-    qq = [math.floor(float(x) * scale + 0.5) for x in query_vec]
-    scored = []
-    for cid, cv in cents:
-        cq = [math.floor(float(x) * scale + 0.5) for x in cv]
-        scored.append((-sum(a * b for a, b in zip(qq, cq)), cid))
-    probe = [cid for _, cid in sorted(scored)[:nprobe]]
-
+    probe = _probe_cells(cents, query_vec, scale, nprobe)
     cell = ivf_cell_expr(vec_col, cents, scale)
     qlit = _lit_float_array(query_vec)
     return (

@@ -133,6 +133,10 @@ class LogToolServer:
         self._ttl = ttl_seconds
         self._clock = clock
         self._sessions: dict[str, _Session] = {}
+        # {dir: (freshness_token, JsonArchive)} — a long-lived server
+        # answers many queries over immutable on-disk archives; pay the
+        # driver-side dictionary collects once per archive, not per call
+        self._archive_cache: dict = {}
 
     # -- session plumbing ------------------------------------------
 
@@ -238,26 +242,19 @@ class LogToolServer:
         return rec.select(sort_ms.alias("__ms"), entry.alias("__entry"))
 
     def _run(self, kql: str, ts_range) -> tuple[list[str], bool]:
-        from clp_spark.clps.encoder import JsonArchive
         from clp_spark.clps.index import (
-            _read_indexes,
-            archive_may_match,
+            load_surviving_archives,
             required_paths,
         )
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        req = required_paths(kql)
-        idx = _read_indexes(self._spark, self._dirs)
-        searched = [d for d in self._dirs if archive_may_match(idx[d], req)]
+        searched, archs = load_surviving_archives(
+            self._spark,
+            self._dirs,
+            required_paths(kql),
+            cache=self._archive_cache,
+        )
         if not searched:
             return [], False
-        # overlap the driver-side dictionary loads across archives
-        # (same pattern as index.py's federated search)
-        with ThreadPoolExecutor(max_workers=min(8, len(searched))) as pool:
-            archs = list(
-                pool.map(lambda d: JsonArchive.load(self._spark, d), searched)
-            )
         out = None
         for d, arch in zip(searched, archs):
             part = self._entry_df(

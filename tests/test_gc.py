@@ -180,3 +180,55 @@ def test_expire_everything(spark, archive):
     assert len(metrics) == 0  # zero-row, schema preserved
     assert "rows" in metrics.columns
     assert search_sinks(spark, out, QUERY).count() == 0
+
+
+def test_crashed_swap_self_heals(spark, archive):
+    """A GC swap that died between its two renames (manifest renamed
+    aside to .gc_old, replacement never renamed in) must self-heal: the
+    next search and the next expire_segments both recover the manifest
+    instead of failing on the missing directory."""
+    import shutil
+
+    from clp_spark.search import sinks as sinks_mod
+
+    out, _res = archive
+    before = search_sinks(spark, out, QUERY).count()
+    assert before > 0
+
+    # simulate the crash window for every manifest dir: live -> .gc_old
+    for name in ("segments", "logtype", "var"):
+        live = os.path.join(out, "manifest", name)
+        os.rename(live, live + ".gc_old")
+    sinks_mod._MANIFEST_CACHE.clear()
+
+    # search heals the token + zone-map manifests on open
+    assert search_sinks(spark, out, QUERY).count() == before
+    for name in ("segments", "logtype", "var"):
+        live = os.path.join(out, "manifest", name)
+        assert os.path.isdir(live)
+        assert not os.path.isdir(live + ".gc_old")
+
+    # and a GC retry heals + completes when the crash hit mid-GC
+    zm = _zone_map(spark, out)
+    cutoff = pd.Timestamp(zm["ts_max"].quantile(0.5))
+    for name in ("segments", "logtype", "var"):
+        live = os.path.join(out, "manifest", name)
+        os.rename(live, live + ".gc_old")
+    got = expire_segments(out, cutoff)
+    assert got["segments_deleted"] >= 0
+    sinks_mod._MANIFEST_CACHE.clear()
+    after = search_sinks(spark, out, QUERY).count()
+    assert 0 < after <= before
+
+    # _swap_dirs itself: replacement staged, live renamed aside, crash —
+    # retry must prefer healing the intact old manifest back
+    live = os.path.join(out, "manifest", "segments")
+    repl = live + ".gc_tmp"
+    shutil.copytree(live, repl)
+    os.rename(live, live + ".gc_old")
+    from clp_spark.route.gc import _swap_dirs
+
+    _swap_dirs(live, repl)
+    assert os.path.isdir(live)
+    assert not os.path.isdir(live + ".gc_old")
+    assert not os.path.isdir(repl)

@@ -327,6 +327,26 @@ def test_convert_log_df_to_kv_ir(spark):
     assert len(hits) == 1
 
 
+def test_convert_no_order_col_does_not_fragment(spark):
+    """Without order_col the converter must still cluster rows by file
+    within each task: shuffle-read interleaves upstream blocks, and an
+    unsorted partition holding two files would flush a tiny stream at
+    every alternation. One stream per file when events fit."""
+    from clp_spark.ir import convert_log_df_to_kv_ir
+
+    rows = [
+        (f"app-{i % 4}.log", f"2024-01-01T12:00:00.000 row {i} ok")
+        for i in range(400)
+    ]
+    # many upstream partitions → many interleaved shuffle blocks
+    df = spark.createDataFrame(
+        rows, "file string, message string"
+    ).repartition(32)
+    out = convert_log_df_to_kv_ir(df, "message", "file").collect()
+    assert sum(r["n_events"] for r in out) == len(rows)
+    assert len(out) == 4  # exactly one stream per file
+
+
 def test_unstructured_spark_grep_and_ts_range(spark):
     from clp_spark.ir import grep_ir, serialize_ir_df
 

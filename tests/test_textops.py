@@ -314,6 +314,13 @@ def test_avi_demux_roundtrip():
         _w, _h, decoded = decode_avi_frames(payload)
         for got, want in zip(decoded, frames):
             assert got.tobytes() == want
+    # uncompressed DIB frames from a non-zero stream number ('01db' —
+    # video as the second stream of a real AVI) must decode, not be
+    # mistaken for compressed
+    p = write_avi(frames, w, h).replace(b"00db", b"01db")
+    _w, _h, decoded = decode_avi_frames(p)
+    for got, want in zip(decoded, frames):
+        assert got.tobytes() == want
     # synth_avi's closed-form offsets (the mm_frame_sample_avi oracle)
     for did in (0, 7, 13, 41, 9999):
         p = synth_avi(did)

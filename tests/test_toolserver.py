@@ -131,3 +131,38 @@ def test_session_ttl_expiry(spark, dirs):
     out = srv.get_nth_page("s", 0)
     assert "Error" in out  # expired: cache gone, session recreated
     assert "Error" in srv.search_by_kql("s", "svc: auth")  # gate re-armed
+
+
+def test_archive_loads_cached_across_calls(spark, dirs, monkeypatch):
+    """A long-lived server must not re-run driver-side dictionary
+    collects per query: JsonArchive.load fires once per archive for
+    repeated searches, and again only after the archive is re-saved."""
+    import clp_spark.clps.encoder as enc
+
+    calls = []
+    real_load = enc.JsonArchive.load.__func__
+
+    def counting_load(cls, spark_, d, **kw):
+        calls.append(d)
+        return real_load(cls, spark_, d, **kw)
+
+    monkeypatch.setattr(
+        enc.JsonArchive, "load", classmethod(counting_load)
+    )
+    srv = _server(spark, dirs)
+    srv.search_by_kql("s", "svc: auth")
+    n1 = len(calls)
+    assert n1 >= 1
+    srv.search_by_kql("s", "svc: auth")
+    srv.search_by_kql("s", "svc: cart")
+    assert len(calls) == max(n1, 2)  # cache hits; only new dirs load
+
+    # touching the archive (a re-save) bumps the freshness token
+    import os
+    import time
+
+    for d in dirs:
+        entry = next(os.scandir(d)).path
+        os.utime(entry, (time.time() + 5, time.time() + 5))
+    srv.search_by_kql("s", "svc: auth")
+    assert len(calls) > max(n1, 2)

@@ -39,11 +39,19 @@ def assign_stable_ids(
     value order, never on partitioning, sampling, or cluster size.
     """
     spark = distinct_df.sparkSession
+    # localCheckpoint, not persist: (a) the blocks are reclaimed when
+    # the plan is GC'd instead of staying pinned in the cache manager
+    # for the session (this frame is dict-sized — huge on exactly the
+    # above-cap path this code exists for), and (b) a persist-evicted
+    # partition would RECOMPUTE repartitionByRange, whose sampled range
+    # boundaries can differ run-to-run — the _pid offsets collected
+    # below would then be stale and the assigned ids silently wrong.
+    # Checkpointed blocks are materialized once and never recomputed.
     d = (
         distinct_df.repartitionByRange(num_partitions, F.col(value_col))
         .sortWithinPartitions(value_col)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # per-partition (count, min-value); order offsets by min value so ids
     # follow the global sort order even if pid numbering were arbitrary
@@ -85,9 +93,12 @@ def build_logtype_dict(parsed: DataFrame, num_partitions: int = 8) -> DataFrame:
     counts (num_vars is a function of the template, so min() is exact);
     the counts make hot-template detection for skew salting free —
     no second scan over the encoded table."""
+    # materialize the aggregate ONCE: both assign_stable_ids and the
+    # join below consume it, and without the checkpoint the join side
+    # re-runs the whole input scan + groupBy a second time
     distinct = parsed.groupBy("logtype").agg(
         F.min("n_vars").alias("num_vars"), F.count("*").alias("n_rows")
-    )
+    ).localCheckpoint(eager=False)
     with_ids = assign_stable_ids(
         distinct.select("logtype"), "logtype", "logtype_id", num_partitions
     )
@@ -141,13 +152,6 @@ def build_dicts_small_pandas(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    # ONE decode of the parsed parquet feeds BOTH dictionary aggregates:
-    # the slim projection (just the 4 dict-relevant columns) is cached by
-    # whichever agg job touches each partition first, and the other reads
-    # the cache. Scanning parsed twice cost a full extra zstd decode pass
-    # (~20% of the whole job's CPU at 6M docs) and, worse, doubled the
-    # memory traffic of the dict phase — the kind of contention that only
-    # shows up at high parallelism and erodes N→4N scaling.
     extra_names = [n for n, _ in (route_count_cols or [])]
     # NO input-level persist: the logtype and var aggregations read
     # DISJOINT column sets (logtype/n_vars/+extras vs var_strs/
@@ -201,13 +205,13 @@ def build_dicts_small_pandas(
                 counts_pdf = g.orderBy("logtype", *extra_names).toPandas()
         finally:
             g.unpersist()
+        # len(lt_pdf) ≤ grouped_n ≤ sample_cap by construction (the
+        # rollup only merges rows), so no second cap check is needed
         lt_pdf = (
             counts_pdf.groupby("logtype", sort=True)
             .agg(num_vars=("num_vars", "min"), n_rows=("n_rows", "sum"))
             .reset_index()
         )
-        if len(lt_pdf) > sample_cap:
-            return None, None
         return lt_pdf, counts_pdf
 
     def _v() -> pd.DataFrame | None:
@@ -271,24 +275,14 @@ def write_dict_parquet(
     identical.)
     """
     import pyarrow as pa
-    import pyarrow.parquet as pq
-    import pyarrow.fs as pafs
 
-    # resolve the filesystem from the URI so s3://, hdfs://, gs:// paths
-    # go to the remote store (a plain local write would silently target
-    # a bogus local path while the later spark.read hits the remote)
-    fs, resolved = pafs.FileSystem.from_uri(dirpath)
-    try:
-        fs.delete_dir(resolved)
-    except (FileNotFoundError, OSError):
-        pass
-    fs.create_dir(resolved, recursive=True)
+    from clp_spark.util import write_driver_table
+
     arrow_schema = pa.schema([(n, getattr(pa, t)()) for n, t in schema])
     tbl = pa.Table.from_pandas(
         pdf[[n for n, _ in schema]], schema=arrow_schema, preserve_index=False
     )
-    with fs.open_output_stream(f"{resolved}/part-00000.zstd.parquet") as out:
-        pq.write_table(tbl, out, compression=compression)
+    write_driver_table(tbl, dirpath, compression)
 
 
 def build_dicts_small(

@@ -104,9 +104,14 @@ def xxhash64_str(value: str, seed: int) -> int:
 
 
 def spark_xxhash64(*args) -> int:
-    """Replicates `F.xxhash64(*cols)` for int and str arguments (seed 42)."""
+    """Replicates `F.xxhash64(*cols)` for int and str arguments (seed 42).
+    NULL arguments are skipped — Spark's HashExpression leaves the
+    running hash unchanged for null inputs, so a null lang column must
+    hash to the same sink driver-side as it does in add_sink_id."""
     h = SPARK_SEED
     for a in args:
+        if a is None:
+            continue
         if isinstance(a, bool):
             raise TypeError("bool not supported")
         if isinstance(a, int):

@@ -121,29 +121,29 @@ def _pa_type(dt):
 
 
 def _write_driver_parquet(dirpath: str, cols: dict, types: dict) -> None:
-    """One-file parquet dataset written driver-side with pyarrow (same
-    rationale as dicts.write_dict_parquet: the data is already on the
-    driver and tiny; a Spark write job costs multi-stage scheduling
-    seconds that Amdahl charges to every cluster size)."""
+    """Column-dict front-end over util.write_driver_table (the shared
+    driver-side single-file parquet writer)."""
+    import pandas as _pd
     import pyarrow as pa
-    import pyarrow.fs as pafs
-    import pyarrow.parquet as pq
 
-    fs, resolved = pafs.FileSystem.from_uri(dirpath)
-    try:
-        fs.delete_dir(resolved)
-    except (FileNotFoundError, OSError):
-        pass
-    fs.create_dir(resolved, recursive=True)
+    from clp_spark.util import write_driver_table
+
     arrays = [
-        pa.array(v, type=types[name]) if not isinstance(v, pa.Array) else v
+        v
+        if isinstance(v, pa.Array)
+        else (
+            # from_pandas maps NaN/pd.NA → parquet null (plain pa.array
+            # rejects pd.NA and would store NaN-poisoned floats)
+            pa.Array.from_pandas(v, type=types[name])
+            if isinstance(v, _pd.Series)
+            else pa.array(v, type=types[name])
+        )
         for name, v in cols.items()
     ]
     tbl = pa.Table.from_arrays(
         arrays, schema=pa.schema([(n, types[n]) for n in cols])
     )
-    with fs.open_output_stream(f"{resolved}/part-00000.zstd.parquet") as out:
-        pq.write_table(tbl, out, compression="zstd")
+    write_driver_table(tbl, dirpath)
 
 
 def _write_summary_derived(
@@ -222,8 +222,11 @@ def _write_metrics_driver(
     types = {
         "sink_id": pa.int64(),
         "rows": pa.int64(),
-        # size() in the Spark fallback (sink_metrics) emits int32 — match
-        "logtype_cardinality": pa.int32(),
+        # countDistinct in the Spark fallback (sink_metrics) emits
+        # LongType — the two writers must produce one schema, or a
+        # resume through phase 4 yields a metrics table strict readers
+        # can't union with a clean run's
+        "logtype_cardinality": pa.int64(),
         "n_encoded_vars": pa.int64(),
         "encoded_bytes": pa.int64(),
         "raw_bytes": pa.int64(),
@@ -507,6 +510,23 @@ def compress(
         ts_cols = [c for c in ("ts_min", "ts_max") if c in summary.columns]
         seg_cols = ts_cols + (["ts_src"] if "ts_src" in summary.columns else [])
         summary_fields = {f.name: f.dataType for f in summary.schema.fields}
+        # TimestampType bounds are collected as epoch MICROS, not as
+        # datetimes: toPandas renders timestamps in the session's
+        # spark.sql.session.timeZone as naive wall times, and the
+        # pyarrow writer's timestamp("us", tz="UTC") would re-read
+        # those wall times as UTC — shifting the zone map by the UTC
+        # offset on any non-UTC session and mis-pruning range queries.
+        # Integer micros are timezone-free; pa.array interprets them
+        # as epoch values under the declared tz=UTC type, which is
+        # exactly the instant Spark stores internally.
+        from pyspark.sql import types as _T
+
+        _micros_cols = [
+            c for c in ts_cols
+            if isinstance(summary_fields[c], _T.TimestampType)
+        ]
+        for c in _micros_cols:
+            summary = summary.withColumn(c, F.unix_micros(F.col(c)))
 
         def _w_route():
             with step_timer("route.write"):
@@ -539,6 +559,10 @@ def compress(
             f_vcard = pool.submit(_w_varcard) if need_metrics else None
             with step_timer("route.summary_collect"):
                 summary_pdf = f_sum.result()
+            for c in _micros_cols:
+                # nullable Int64: an all-null-ts segment must round-trip
+                # as parquet null, not poison the column to float64
+                summary_pdf[c] = summary_pdf[c].astype("Int64")
             with step_timer("route.summary_derived_write"):
                 _write_summary_derived(
                     summary_pdf, summary_fields, seg_cols, out_dir, cfg
@@ -589,6 +613,23 @@ def compress(
         m = sink_metrics(encoded_sinks).join(
             sink_var_cardinality(encoded_sinks), "sink_id", "left"
         ).na.fill({"var_cardinality": 0})
+        # same per-sink ts bounds (and column order) the driver path
+        # writes — a resume through this phase must not produce a
+        # metrics table missing ts_min/ts_max
+        for c in ("warc_ts", "ts_ms"):
+            if c in encoded_sinks.columns:
+                m = m.join(
+                    encoded_sinks.groupBy("sink_id").agg(
+                        F.min(c).alias("ts_min"), F.max(c).alias("ts_max")
+                    ),
+                    "sink_id",
+                    "left",
+                ).select(
+                    "sink_id", "rows", "logtype_cardinality",
+                    "n_encoded_vars", "encoded_bytes", "raw_bytes",
+                    "ts_min", "ts_max", "var_cardinality",
+                )
+                break
         m.write.mode("overwrite").parquet(metrics_dir)
         manifest.commit("metrics", "metrics", run_id, wall_ms=int(1000 * (time.time() - t0)))
 

@@ -282,6 +282,14 @@ def minhash_lsh_pairs(
     integer Jaccard test, so output ⊆ ngram_jaccard_pairs and contains
     every pair LSH recalls.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # rows = num_hashes // bands silently drops remainder hashes
+        # (recall differs from the requested parameters), and
+        # bands > num_hashes gives rows=0 → every band hashes the empty
+        # string → ONE global bucket → an O(n²) corpus cross-pairing
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
     rows = num_hashes // bands
     sets = word_shingle_sets(docs, n, id_col, text_col, drop_short=True)
     sets = sets.localCheckpoint(eager=False)
@@ -443,8 +451,13 @@ def simhash_near_dup_pairs(
             F.col("b.id").alias("doc_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
-        .distinct()
+        # hamming is deterministic per pair, so filtering BEFORE the
+        # distinct is identical output — and the distinct's shuffle
+        # then carries only near pairs instead of every block-collision
+        # candidate (each duplicated up to `blocks` times); candidate
+        # rejection is most of this stage's traffic on web corpora
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -551,15 +564,43 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("nrep").alias("nrep"))
         )
-        # `_chg` marks rows whose rep strictly decreased this round; the
-        # fixpoint is reached exactly when no row changed. Works for any
-        # orderable id type (long, string URL, ...) — no numeric cast.
-        new_labels = labels.join(nbr, "id", "left").select(
+        stepped = labels.join(nbr, "id", "left").select(
             "id",
             F.least(
                 F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
             ).alias("rep"),
-            F.coalesce(F.col("nrep") < F.col("rep"), F.lit(False)).alias("_chg"),
+            F.col("rep").alias("_old"),
+        )
+        # pointer jump (path halving): rep ← rep's own current rep.
+        # Neighbor-min alone advances a long chain ONE hop per round
+        # (O(diameter) rounds — a diameter-60 boilerplate chain would
+        # exhaust max_iters and silently under-merge); the jump halves
+        # remaining path lengths every round, making convergence
+        # O(log diameter). rep is always a vertex in the frame (min of
+        # self + neighbors), so the self-join is total; rep[r] ≤ r by
+        # the same invariant, so least() just takes the jumped value
+        # when present.
+        jmp = stepped.select(
+            F.col("id").alias("_jid"), F.col("rep").alias("_jrep")
+        )
+        # `_chg` marks rows whose rep strictly decreased this round; the
+        # fixpoint is reached exactly when no row changed. Works for any
+        # orderable id type (long, string URL, ...) — no numeric cast.
+        new_labels = (
+            stepped.join(jmp, stepped.rep == jmp._jid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("_jrep"), F.col("rep"))
+                ).alias("rep"),
+                (
+                    F.least(
+                        F.col("rep"),
+                        F.coalesce(F.col("_jrep"), F.col("rep")),
+                    )
+                    < F.col("_old")
+                ).alias("_chg"),
+            )
         )
         if (it + 1) % 4 == 0:
             # cut lineage periodically so analysis cost stays bounded
@@ -575,6 +616,16 @@ def connected_components(
         labels = new_labels
         if not changed:
             break
+    else:
+        # loop exhausted with changes still flowing: partial labels
+        # would silently under-merge (duplicates kept). With path
+        # halving this needs a component of diameter ~2^max_iters —
+        # if it ever fires, something is wrong; fail loud, never wrong.
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds; raise max_iters"
+        )
     edges.unpersist()
     # singletons (ids with no near-dup edge) are their own rep
     return all_ids.select(F.col(id_col).alias("id")).join(
@@ -620,7 +671,24 @@ def embedding_near_dup_pairs(
     ]
     if num_planes is not None:
         if dim is None:
-            dim = len(emb.select(vec_col).first()[0])
+            first = emb.select(vec_col).first()
+            if first is None or first[0] is None:
+                # empty input (or null leading embedding): an upstream
+                # filter may legitimately drain the frame — a dedup
+                # stage must then be a no-op, not a crash
+                from pyspark.sql import types as _T
+
+                idt = emb.schema[id_col].dataType
+                return emb.sparkSession.createDataFrame(
+                    [],
+                    _T.StructType(
+                        [
+                            _T.StructField("doc_a", idt),
+                            _T.StructField("doc_b", idt),
+                        ]
+                    ),
+                )
+            dim = len(first[0])
         cols.append(F.expr(lsh_bucket_expr(vec_col, num_planes, dim, scale)).alias("blk"))
     qdf = emb.select(*cols)
     a = qdf.alias("a")

@@ -101,3 +101,25 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= min_partitions:
         return df
     return df.repartition(min_partitions)
+
+
+def write_driver_table(tbl, dirpath: str, compression: str = "zstd") -> None:
+    """Single-file parquet dataset written driver-side with pyarrow —
+    the shared bottom half of every driver-side bookkeeping write
+    (dictionaries, manifests, metrics). The data is already on the
+    driver and tiny; a Spark write job costs multi-stage scheduling
+    seconds that Amdahl charges to every cluster size. The filesystem
+    is resolved from the URI so s3://, hdfs://, gs:// paths go to the
+    remote store; Spark reads the directory back exactly like its own
+    output."""
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    fs, resolved = pafs.FileSystem.from_uri(dirpath)
+    try:
+        fs.delete_dir(resolved)
+    except (FileNotFoundError, OSError):
+        pass
+    fs.create_dir(resolved, recursive=True)
+    with fs.open_output_stream(f"{resolved}/part-00000.zstd.parquet") as out:
+        pq.write_table(tbl, out, compression=compression)

@@ -92,3 +92,35 @@ def test_engines_agree_on_random_graph(spark):
         for r in connected_components(pairs, ids, driver_edge_cap=0).collect()
     }
     assert fast == slow
+
+
+def test_distributed_long_chain_converges_past_neighbor_min_budget(spark):
+    """A 40-node path with max_iters=12: neighbor-min alone needs ~39
+    rounds (one hop each); the path-halving jump must converge it in
+    O(log n) and never return partial labels."""
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r["id"]: r["rep"]
+        for r in connected_components(
+            pairs, ids, driver_edge_cap=0, max_iters=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_distributed_nonconvergence_raises_not_underdedups(spark):
+    """If the round budget is genuinely exhausted the call must fail
+    loud, not silently return under-merged components."""
+    import pytest as _pytest
+
+    n = 30
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, ids, driver_edge_cap=0, max_iters=2)

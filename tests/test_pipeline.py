@@ -186,3 +186,105 @@ def test_compress_with_parse_timestamps(spark, tmp_path):
     dec = prepend_timestamps_df(decode_messages(sinks, lt, vd, "text"), "text")
     got = {r["url"]: r["text"] for r in dec.select("url", "text").collect()}
     assert got == dict(rows)
+
+
+def test_compress_with_null_lang(spark, pages_pdf, tmp_path_factory):
+    """Web corpora carry pages with no detected language: lang=NULL rows
+    must route to the same sink the Spark-side pmod(xxhash64(lt, lang))
+    assigns (Spark's xxhash64 skips null args), not crash the driver's
+    analytic route bounds."""
+    pdf = pages_pdf.copy()
+    pdf.loc[pdf.index[::7], "lang"] = None  # every 7th page: no lang
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = str(tmp_path_factory.mktemp("nulllang_out"))
+    res = compress(spark, df, out, CFG)
+    sinks = spark.read.parquet(res["sinks"])
+    assert sinks.count() == len(pdf)
+    # the routed sink must equal Spark's own hash for every row
+    joined = (
+        sinks.withColumn(
+            "expect",
+            F.pmod(F.xxhash64("logtype_id", "lang"), F.lit(CFG.num_sinks)),
+        )
+        .filter(F.col("sink_id") != F.col("expect"))
+        .count()
+    )
+    assert joined == 0
+    # null-lang rows are present and queryable
+    assert sinks.filter(F.col("lang").isNull()).count() > 0
+
+
+def test_zone_map_instants_survive_non_utc_session(spark, pages_pdf, tmp_path_factory):
+    """compress() accepts any caller-built session; with
+    spark.sql.session.timeZone != UTC the driver-written ts zone map
+    (and metrics bounds) must still store the TRUE instants — toPandas
+    renders timestamps as session-local naive wall times, which a
+    tz=UTC parquet type would otherwise re-read shifted by the UTC
+    offset, mis-pruning range queries near segment edges."""
+    import pyarrow.dataset as ds
+
+    tz_key = "spark.sql.session.timeZone"
+    old = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        df = spark.createDataFrame(pages_pdf).repartition(8)
+        out = str(tmp_path_factory.mktemp("tzshift_out"))
+        compress(spark, df, out, CFG)
+        want = df.agg(
+            F.unix_micros(F.min("warc_ts")).alias("lo"),
+            F.unix_micros(F.max("warc_ts")).alias("hi"),
+        ).collect()[0]
+        seg = (
+            ds.dataset(os.path.join(out, "manifest", "segments"))
+            .to_table()
+            .to_pandas()
+        )
+        got_lo = min(t.value // 1000 for t in seg["ts_min"])
+        got_hi = max(t.value // 1000 for t in seg["ts_max"])
+        assert (got_lo, got_hi) == (want["lo"], want["hi"])
+        met = (
+            ds.dataset(os.path.join(out, "metrics")).to_table().to_pandas()
+        )
+        assert min(t.value // 1000 for t in met["ts_min"]) == want["lo"]
+        assert max(t.value // 1000 for t in met["ts_max"]) == want["hi"]
+    finally:
+        spark.conf.set(tz_key, old)
+
+
+def test_metrics_fallback_schema_matches_driver_path(spark, pages_pdf, tmp_path_factory):
+    """A run that crashes between the route commit and the metrics
+    commit resumes through the phase-4 Spark aggregation; the metrics
+    table it writes must be column- and type-identical to the driver
+    writer's (same ts bounds, same LongType cardinality) so strict
+    readers can union metrics across runs."""
+    import json as _json
+
+    df = spark.createDataFrame(pages_pdf).repartition(4)
+    out = str(tmp_path_factory.mktemp("metrics_schema_out"))
+    compress(spark, df, out, CFG)
+    driver_schema = spark.read.parquet(os.path.join(out, "metrics")).schema
+    driver_rows = {
+        r["sink_id"]: (r["rows"], r["logtype_cardinality"], r["ts_min"], r["ts_max"])
+        for r in spark.read.parquet(os.path.join(out, "metrics")).collect()
+    }
+
+    # simulate the crash window: metrics dir gone, commit record erased
+    shutil.rmtree(os.path.join(out, "metrics"))
+    man_path = os.path.join(out, "_manifest.jsonl")
+    with open(man_path) as f:
+        recs = [_json.loads(line) for line in f]
+    with open(man_path, "w") as f:
+        for r in recs:
+            if r.get("phase") != "metrics":
+                f.write(_json.dumps(r) + "\n")
+
+    compress(spark, df, out, CFG)  # resume → phase-4 fallback writer
+    fb = spark.read.parquet(os.path.join(out, "metrics"))
+    assert [(f.name, f.dataType.simpleString()) for f in fb.schema] == [
+        (f.name, f.dataType.simpleString()) for f in driver_schema
+    ]
+    fb_rows = {
+        r["sink_id"]: (r["rows"], r["logtype_cardinality"], r["ts_min"], r["ts_max"])
+        for r in fb.collect()
+    }
+    assert fb_rows == driver_rows

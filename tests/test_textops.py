@@ -466,3 +466,33 @@ class TestSpanDedup:
             for r in strip_duplicated_spans(docs, span_words=3).collect()
         }
         assert got == {1: "a b c"}
+
+
+def test_embedding_near_dup_empty_input_is_noop(spark):
+    """An upstream filter may drain the frame; the dedup stage must
+    return an empty pair frame, not crash on first()[0]."""
+    from clp_spark.textops.dedup import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    out = embedding_near_dup_pairs(emb)
+    assert out.count() == 0
+    assert out.columns == ["doc_a", "doc_b"]
+
+
+def test_minhash_rejects_uneven_bands(spark):
+    """bands must divide num_hashes: remainder hashes would silently
+    change recall, and bands > num_hashes degenerates every band to one
+    global bucket (an O(n^2) cross-pairing)."""
+    import pytest as _pytest
+
+    from clp_spark.textops.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=5)
+    with _pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=20)

@@ -74,6 +74,11 @@ _MARKER_TAGS = (NODE_ARRSTART, NODE_ARREND, NODE_OBJSTART, NODE_OBJEND)
 # reference's FormattedFloat/DictionaryFloat split: ColumnWriter.hpp:
 # 69-125, FloatFormatEncoding.*)
 NODE_FMTFLOAT = 12
+# an explicitly-empty object value ({"a": {}}): the reference records
+# it as an Object node (SchemaTree.hpp:24-43); without a leaf the key
+# would silently vanish on reconstruction (and '{"a":{}}' would share
+# a schema with '{}')
+NODE_EMPTYOBJ = 13
 
 _INT64_MIN, _INT64_MAX = -(2**63), 2**63 - 1
 
@@ -193,6 +198,11 @@ def _walk(
     markers (OBJSTART/OBJEND bracket object elements), mirroring the
     reference's --structurize-arrays schema-tree expansion."""
     if isinstance(obj, dict):
+        if not obj and path:
+            # root {} is the canonical zero-leaf record; a NESTED empty
+            # object needs a leaf or its key is lost on reconstruction
+            out.append((path, NODE_EMPTYOBJ, 0, None, None))
+            return
         for k, v in obj.items():
             _walk(v, f"{path}.{k}" if path else k, out, structurize, fast)
         return
@@ -276,11 +286,18 @@ def _parse_records(
     for part in _LEAF_SCHEMA.split(", "):
         name, typ = part.split(" ", 1)
         fields.append(f"{name}:{typ}")
+    # join the passthrough fields AND the leaves column in one list —
+    # with zero passthrough columns (a single-column JSON-lines frame)
+    # a naive prefix-join would emit a leading-comma DDL string that
+    # mapInPandas' schema parser rejects
     out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema
-        if f.name in passthrough
-    ) + f", leaves array<struct<{','.join(fields)}>>"
+        [
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema
+            if f.name in passthrough
+        ]
+        + [f"leaves array<struct<{','.join(fields)}>>"]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -288,6 +305,15 @@ def _parse_records(
             for s in pdf[json_col]:
                 rec: list = []
                 obj, fast = _loads(s)
+                if not isinstance(obj, dict):
+                    # a top-level array/scalar would flatten to a leaf
+                    # with path "" and reconstruct as {"": value} —
+                    # silent corruption. The reference ingests records
+                    # (objects); reject loudly at parse time instead.
+                    raise ValueError(
+                        "clp_s encoding requires top-level JSON objects; "
+                        f"got {type(obj).__name__}: {str(s)[:80]!r}"
+                    )
                 _walk(obj, "", rec, structurize, fast)
                 rows = []
                 for path, tag, ival, sval, clp in rec:
@@ -580,10 +606,13 @@ def encode_json_df(
     b_sch = spark.sparkContext.broadcast(schema_ids)
 
     out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in parsed.schema
-        if f.name != "leaves"
-    ) + f", schema_id long, node_ids array<long>, jvals {JVALS_TYPE}"
+        [
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in parsed.schema
+            if f.name != "leaves"
+        ]
+        + [f"schema_id long", "node_ids array<long>", f"jvals {JVALS_TYPE}"]
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         nm = b_nodes.value
@@ -771,7 +800,14 @@ def _encode_json_distributed(
         )
     )
     clp = (
-        clp_leaves.join(F.broadcast(logtype_dict), "logtype")
+        # NOT F.broadcast: this path exists precisely because the
+        # dictionaries can exceed the driver cap — a forced broadcast
+        # would collect the over-cap logtype dict to the driver (8 GB
+        # BroadcastExchange limit / OOM) in exactly the workload the
+        # distributed build serves. Catalyst/AQE still broadcasts it
+        # automatically whenever it is actually small (the var_dict
+        # join above is unforced for the same reason).
+        clp_leaves.join(logtype_dict, "logtype")
         .join(vars_grouped, ["_rid", "pos"], "left")
         .select(
             "_rid",
@@ -914,6 +950,8 @@ def reconstruct_json_df(
                         val = int(vs[enc])
                     elif tag == NODE_ARRAY:
                         val = _Raw(vs[enc])  # canonical JSON text, verbatim
+                    elif tag == NODE_EMPTYOBJ:
+                        val = {}
                     elif tag in _MARKER_TAGS:
                         val = None
                     else:  # CLPSTR
@@ -1138,6 +1176,8 @@ def _reconstruct_joined(archive: JsonArchive, out_col: str) -> DataFrame:
                         val = int(lf["sval"])
                     elif tag == NODE_ARRAY:
                         val = _Raw(lf["sval"])
+                    elif tag == NODE_EMPTYOBJ:
+                        val = {}
                     elif tag in _MARKER_TAGS:
                         val = None
                     else:  # CLPSTR

@@ -54,6 +54,7 @@ TAG_NAMES = {
     8: "StructuredArray",   # ARRSTART marker (structurized archives)
     10: "Object",           # OBJSTART marker
     12: "Float",  # fmtfloat: source-formatted float
+    13: "Object",  # explicitly-empty object value
 }
 
 _INDEX_FILE = "column_index"

@@ -93,11 +93,15 @@ def _append_node_id(buf: bytearray, node_id: int, tags, auto: bool):
 
 
 class _SchemaTree:
-    __slots__ = ("nodes", "index")
+    __slots__ = ("nodes", "index", "_paths")
 
     def __init__(self):
         self.nodes = [(None, None, P.NODE_TYPE_OBJ)]  # root at id 0
         self.index: dict = {}
+        # {node_id: path list} — _restore calls path_of per (id, value)
+        # pair of every event in a stream scan; without the memo the
+        # same parent chain is rebuilt O(events · pairs · depth) times
+        self._paths: dict = {}
 
     def get_or_insert(self, parent_id: int, key: str, node_type: str):
         loc = (parent_id, key, node_type)
@@ -110,12 +114,14 @@ class _SchemaTree:
         return nid, True
 
     def path_of(self, node_id: int) -> list[str]:
-        path: list[str] = []
-        while node_id != P.ROOT_NODE_ID:
-            parent, key, _ = self.nodes[node_id]
-            path.append(key)
-            node_id = parent
-        path.reverse()
+        hit = self._paths.get(node_id)
+        if hit is not None:
+            return hit
+        if node_id == P.ROOT_NODE_ID:
+            return []
+        parent, key, _ = self.nodes[node_id]
+        path = self.path_of(parent) + [key]
+        self._paths[node_id] = path
         return path
 
 
@@ -212,13 +218,29 @@ class KvIrWriter:
         tree_buf = bytearray()
         seq_buf = bytearray()
         user_val_buf = bytearray()
-        if auto_kv:
-            # auto-gen ids and values interleave in the sequential buffer
-            self._dfs(auto_kv, self.auto_tree, True, tree_buf, seq_buf, seq_buf)
-        if user_kv:
-            self._dfs(user_kv, self.user_tree, False, tree_buf, seq_buf, user_val_buf)
-        else:
-            seq_buf.append(P.VALUE_EMPTY)
+        # the event bytes are staged and committed atomically below; the
+        # schema-tree INSERTS must be transactional too — a failed add
+        # (unserializable value, non-str key) that left a node indexed
+        # would make the NEXT add reference an id whose tree-insertion
+        # bytes were discarded, corrupting the stream for every later
+        # event. Snapshot both trees and roll back on any error.
+        marks = (len(self.auto_tree.nodes), len(self.user_tree.nodes))
+        try:
+            if auto_kv:
+                # auto-gen ids and values interleave in the seq buffer
+                self._dfs(auto_kv, self.auto_tree, True, tree_buf, seq_buf, seq_buf)
+            if user_kv:
+                self._dfs(user_kv, self.user_tree, False, tree_buf, seq_buf, user_val_buf)
+            else:
+                seq_buf.append(P.VALUE_EMPTY)
+        except Exception:
+            for tree, mark in zip((self.auto_tree, self.user_tree), marks):
+                for nid in range(mark, len(tree.nodes)):
+                    tree._paths.pop(nid, None)
+                for loc in tree.nodes[mark:]:
+                    del tree.index[loc]
+                del tree.nodes[mark:]
+            raise
         self.buf += tree_buf
         self.buf += seq_buf
         self.buf += user_val_buf

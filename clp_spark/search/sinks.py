@@ -392,18 +392,33 @@ def _ts_units_cached(
 
     def _cmp_key(v):
         # ts bounds may arrive as ISO strings (executor semantics allow
-        # string/timestamp comparison); normalize for the driver compare
+        # string/timestamp comparison); normalize for the driver compare.
+        # Applied to BOTH sides — a string-typed warc_ts column yields
+        # string zone-map bounds, which must not str-vs-datetime crash.
         if isinstance(v, str):
             return datetime.datetime.fromisoformat(v)
         return v
 
     lo_k = _cmp_key(lo) if lo is not None else None
     hi_k = _cmp_key(hi) if hi is not None else None
-    out = [
-        u
-        for u, tmin, tmax in rows
-        if (lo_k is None or tmax >= lo_k) and (hi_k is None or tmin <= hi_k)
-    ]
+
+    def _survives(tmin, tmax):
+        # NULL bounds (an all-null-ts segment) mean "unknown": the zone
+        # map cannot prove non-overlap, so the unit must SURVIVE — the
+        # sound degrade direction (same rule as Spark's null-safe
+        # filters in the DataFrame path this cache replaced)
+        if tmin is None or tmax is None:
+            return True
+        try:
+            return (lo_k is None or _cmp_key(tmax) >= lo_k) and (
+                hi_k is None or _cmp_key(tmin) <= hi_k
+            )
+        except TypeError:
+            # incomparable unit mix (e.g. int zone map vs datetime
+            # query): cannot prove non-overlap — survive, never prune
+            return True
+
+    out = [u for u, tmin, tmax in rows if _survives(tmin, tmax)]
     return out, unit_cols
 
 
@@ -419,13 +434,11 @@ def surviving_unit_filter(
     """(predicate | None, provably_empty) for one archive: the combined
     token-manifest + ts-zone-map prune. predicate None = cannot prune;
     provably_empty = the archive cannot contain matches at all."""
-    import os as _os
-
-    lt_dict = spark.read.parquet(_os.path.join(out_dir, "dicts", "logtype"))
-    v_dict = spark.read.parquet(_os.path.join(out_dir, "dicts", "var"))
+    lt_dict = spark.read.parquet(os.path.join(out_dir, "dicts", "logtype"))
+    v_dict = spark.read.parquet(os.path.join(out_dir, "dicts", "var"))
     cq = compile_query(query, ignore_case=ignore_case, substring=substring)
-    man_dir = _os.path.join(out_dir, "manifest")
-    if not _os.path.isdir(man_dir):
+    man_dir = os.path.join(out_dir, "manifest")
+    if not os.path.isdir(man_dir):
         return None, False
     units: set | None = None
     unit_cols: list[str] | None = None
@@ -453,8 +466,8 @@ def surviving_unit_filter(
                         unit_cols = man_cols
     from clp_spark.route.gc import _heal_dir
 
-    seg_dir = _heal_dir(_os.path.join(man_dir, "segments"))
-    if ts_range is not None and _os.path.isdir(seg_dir):
+    seg_dir = _heal_dir(os.path.join(man_dir, "segments"))
+    if ts_range is not None and os.path.isdir(seg_dir):
         r = _ts_units_cached(spark, seg_dir, ts_range, ts_col)
         if r is not None:
             ts_units, ts_cols = set(r[0]), r[1]
@@ -707,6 +720,11 @@ def search_archives(
     pruning is BATCHED: one planning action over all archives'
     dictionaries + zone maps (plan_archives) decides which archives can
     match at all; only survivors get their per-archive staged search."""
+    if not out_dirs:
+        # the schema-preserving empty fallback below needs one archive
+        # to borrow a schema from; a dynamic discovery that matched
+        # nothing deserves a clear error, not an IndexError
+        raise ValueError("search_archives: out_dirs is empty")
     survivors = plan_archives(
         spark,
         out_dirs,

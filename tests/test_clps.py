@@ -716,3 +716,40 @@ class TestUnstructuredArraySearch:
         # prove the distributed path actually ran (cap tripped + memo hit)
         assert uarchive._arr_vals_cache == "over"
         assert len(uarchive._arr_match_cache) > 0
+
+
+def test_empty_object_and_single_column_roundtrip(spark):
+    """'{\"a\":{}}' must round-trip (the empty object is an Object node,
+    SchemaTree.hpp:24-43 — losing the key would violate the structural-
+    equality contract), '{\"a\":{}}' and '{}' must NOT share a schema,
+    a no-passthrough (single-column) frame must encode, top-level
+    non-objects must be rejected loudly, and arrays keep working."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from clp_spark.clps import encode_json_df
+    from clp_spark.clps.encoder import reconstruct_json_df
+
+    recs = [
+        '{"a":{}}',
+        "{}",
+        '{"a":{"b":1}}',
+        '{"a":{},"c":[{"d":{}}]}',
+        '{"nested":{"deeper":{}}}',
+    ]
+    df = spark.createDataFrame([(s,) for s in recs], "json string")
+    arch = encode_json_df(df, "json")  # no passthrough columns at all
+    out = [
+        _json.loads(r["rt"])
+        for r in reconstruct_json_df(arch, "rt").collect()
+    ]
+    want = [_json.loads(s) for s in recs]
+    assert sorted(out, key=_json.dumps) == sorted(want, key=_json.dumps)
+    # distinct schemas for {} vs {"a":{}}
+    sids = {r["schema_id"] for r in arch.encoded.select("schema_id").collect()}
+    assert len(sids) >= 4
+
+    bad = spark.createDataFrame([("[1,2]",)], "json string")
+    with _pytest.raises(Exception, match="top-level JSON objects"):
+        encode_json_df(bad, "json").encoded.collect()

@@ -392,3 +392,22 @@ def test_scan_flush_bound_is_exact(spark, kv_streams, monkeypatch):
     got_log = sorted((r["ts_ms"], r["message"]) for r in grep_ir(streams).collect())
     assert got_kv == baseline_kv
     assert got_log == baseline_log
+
+
+def test_kv_writer_failed_add_rolls_back_schema_tree(spark):
+    """A failed add() must not leave nodes indexed whose tree-insertion
+    bytes were discarded — later events would reference ids the reader
+    has never seen, corrupting the whole stream."""
+    import pytest as _pytest
+
+    from clp_spark.ir.kv import KvIrWriter, deserialize_kv_ir_stream
+
+    w = KvIrWriter()
+    w.add({"a": 1})
+    with _pytest.raises(OverflowError):
+        w.add({"a": 5, "huge": 2**70})  # fails after inserting 'huge'
+    with _pytest.raises(TypeError):
+        w.add({"ok": {1: "non-string key"}})
+    w.add({"a": 2, "huge": 3})  # 'huge' must insert FRESH (and serialize)
+    meta, events = deserialize_kv_ir_stream(w.finish())
+    assert [e["user"] for e in events] == [{"a": 1}, {"a": 2, "huge": 3}]

@@ -448,3 +448,44 @@ def test_var_manifest_sorted_and_prunable(spark, compressed):
     ]
     containing = sum(1 for lo, hi in spans if lo <= probe <= hi)
     assert containing <= max(1, len(spans) // 2), (containing, len(spans))
+
+
+def test_null_ts_bounds_segment_survives_zone_map(spark, tmp_path):
+    """A segment whose rows all have NULL timestamps gets NULL zone-map
+    bounds; the driver-side compare must treat them as 'unknown' and
+    keep the segment (sound degrade), not crash on None comparison."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clp_spark.search import sinks as sinks_mod
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    import datetime as dt
+
+    tbl = pa.table(
+        {
+            "sink_id": pa.array([0, 0], type=pa.int64()),
+            "seg_id": pa.array([0, 1], type=pa.int64()),
+            "rows": pa.array([5, 5], type=pa.int64()),
+            "ts_min": pa.array(
+                [dt.datetime(2024, 1, 1), None], type=pa.timestamp("us")
+            ),
+            "ts_max": pa.array(
+                [dt.datetime(2024, 1, 2), None], type=pa.timestamp("us")
+            ),
+            "ts_src": pa.array(["warc_ts", "warc_ts"]),
+        }
+    )
+    pq.write_table(tbl, str(seg_dir / "part-00000.parquet"))
+    sinks_mod._MANIFEST_CACHE.clear()
+    r = sinks_mod._ts_units_cached(
+        spark,
+        str(seg_dir),
+        (dt.datetime(2024, 6, 1), dt.datetime(2024, 6, 2)),
+        "warc_ts",
+    )
+    assert r is not None
+    units = set(r[0])
+    # the known-range segment is pruned; the NULL-bounds one survives
+    assert (0, 0) not in units and (0, 1) in units
